@@ -1,0 +1,153 @@
+"""Deterministic hashing primitives for dedup and similarity.
+
+All hashes are content-only (blake2b) — never Python's salted ``hash()`` —
+so signatures agree across Ray worker processes and across runs, which is
+what lets dedup run as a hash-partitioned ``groupby`` at cluster scale.
+
+Vectorized with numpy where it matters: a MinHash signature is one
+``(num_perm, n_shingles)`` broadcast-min, not a Python loop per permutation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_MERSENNE_61 = (1 << 61) - 1
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def blake64(data: str | bytes) -> int:
+    """Stable 64-bit content hash."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+def text_fingerprint(text: str, normalize: bool = True) -> str:
+    """Exact-dedup key: blake2b hex of (optionally whitespace/case
+    normalized) text."""
+    if normalize:
+        text = " ".join(text.lower().split())
+    return hashlib.blake2b(text.encode("utf-8"), digest_size=16).hexdigest()
+
+
+def rolling_fingerprint(text: str, window: int = 64, base: int = 257) -> int:
+    """Polynomial rolling-hash document fingerprint: XOR of the per-window
+    rolling hashes sampled where hash % 16 == 0 (winnowing-style selection),
+    folded to 64 bits. Cheap, order-sensitive, deterministic."""
+    data = text.encode("utf-8")
+    if len(data) <= window:
+        return blake64(data)
+    h = 0
+    power = pow(base, window - 1, _MERSENNE_61)
+    for b in data[:window]:
+        h = (h * base + b) % _MERSENNE_61
+    out = h if h % 16 == 0 else 0
+    for i in range(window, len(data)):
+        h = ((h - data[i - window] * power) * base + data[i]) % _MERSENNE_61
+        if h % 16 == 0:
+            out ^= h
+    return out & 0xFFFFFFFFFFFFFFFF
+
+
+def word_tokens(text: str) -> list[str]:
+    return _WORD_RE.findall(text.lower())
+
+
+def word_ngrams(text: str, n: int = 3) -> list[str]:
+    toks = word_tokens(text)
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def char_shingles(text: str, k: int = 5) -> list[str]:
+    s = " ".join(text.lower().split())
+    if len(s) <= k:
+        return [s] if s else []
+    return [s[i : i + k] for i in range(len(s) - k + 1)]
+
+
+def shingle_hashes(shingles: list[str]) -> np.ndarray:
+    """uint64 content hashes of shingles (deduplicated)."""
+    return np.unique(
+        np.fromiter((blake64(s) for s in shingles), dtype=np.uint64, count=len(shingles))
+    ) if shingles else np.empty(0, dtype=np.uint64)
+
+
+class MinHasher:
+    """num_perm-permutation MinHash over 61-bit universal hashes.
+
+    Permutation parameters are derived from a fixed seed so every worker
+    computes identical signatures (built once per actor / per process).
+    """
+
+    def __init__(self, num_perm: int = 128, seed: int = 42) -> None:
+        rng = np.random.RandomState(seed)
+        self.num_perm = num_perm
+        # a < 2^29 and 32-bit shingle hashes keep a*h + b < 2^62: exact in
+        # uint64, no object-dtype bignum fallback in the hot path.
+        self.a = rng.randint(1, 1 << 29, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE_61, size=num_perm, dtype=np.uint64)
+
+    def signature(self, hashes: np.ndarray) -> np.ndarray:
+        """(num_perm,) uint64 signature; all-max for an empty set."""
+        if hashes.size == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        h = hashes.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        acc = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(
+            _MERSENNE_61
+        )
+        return np.min(acc, axis=1)
+
+    def signature_for_text(self, text: str, ngram: int = 3) -> np.ndarray:
+        return self.signature(shingle_hashes(word_ngrams(text, ngram)))
+
+
+def lsh_band_keys(signature: np.ndarray, num_bands: int) -> list[int]:
+    """Split a signature into bands; each band hashes to a 64-bit bucket key
+    namespaced by band index (so buckets from different bands never merge)."""
+    rows = len(signature) // num_bands
+    keys = []
+    for band in range(num_bands):
+        chunk = signature[band * rows : (band + 1) * rows]
+        digest = hashlib.blake2b(
+            band.to_bytes(4, "big") + chunk.tobytes(), digest_size=8
+        ).digest()
+        keys.append(int.from_bytes(digest, "big"))
+    return keys
+
+
+def minhash_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (term-frequency weighted)."""
+    toks = word_tokens(text)
+    if not toks:
+        return 0
+    uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+    hashes = np.fromiter((blake64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    weighted = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if weighted[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

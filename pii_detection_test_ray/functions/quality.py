@@ -1,0 +1,127 @@
+"""Heuristic document-quality rules → keep/drop gate with reason codes.
+
+These are the stateless web-corpus quality heuristics (doc length, symbol
+ratio, line/word repetition) of a Common-Crawl-style quality filter; they run
+vectorized-per-batch inside ``map_batches``. The stateful signals (language-ID
+confidence, n-gram perplexity) are produced by actor-pool stages and combined
+with these in the gate (stages/quality_gate.py).
+
+Rule thresholds are config, not code (QualityConfig), mirroring how the
+reference exposes its knobs as CLI flags / config rather than constants
+(reference: run_pii_evaluation.py:952-987).
+
+The first three rules (length bounds, whitespace-token count, distinct-word
+ratio) are intentionally expressible in ANSI SQL so the DuckDB oracle can
+verify the Ray implementation value-for-value.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_WS_SPLIT = re.compile(r"\s+")
+
+# Reason codes, in evaluation order. A document may accumulate several.
+REASON_TOO_SHORT = "too_short"
+REASON_TOO_LONG = "too_long"
+REASON_TOO_FEW_WORDS = "too_few_words"
+REASON_SYMBOL_RATIO = "symbol_ratio"
+REASON_WORD_REPETITION = "word_repetition"
+REASON_LINE_REPETITION = "line_repetition"
+REASON_LANG_CONFIDENCE = "lang_confidence"
+REASON_PERPLEXITY = "perplexity"
+
+
+@dataclass(frozen=True)
+class QualityConfig:
+    min_chars: int = 50
+    max_chars: int = 1_000_000
+    min_words: int = 5
+    max_symbol_ratio: float = 0.30
+    min_distinct_word_ratio: float = 0.20
+    max_duplicate_line_ratio: float = 0.60
+    min_lang_confidence: float = 0.20
+    max_log_perplexity: float = 6.5
+    languages_kept: frozenset[str] = field(
+        default_factory=lambda: frozenset({"ko", "en", "es", "de", "fr", "zh"})
+    )
+
+
+def tokenize_ws(text: str) -> list[str]:
+    """Whitespace tokenization; identical to DuckDB's
+    ``regexp_split_to_array(trim(text), '\\s+')`` on non-empty input."""
+    stripped = text.strip()
+    if not stripped:
+        return []
+    return _WS_SPLIT.split(stripped)
+
+
+def token_count(text: str) -> int:
+    return len(tokenize_ws(text))
+
+
+def symbol_ratio(text: str) -> float:
+    """Fraction of characters that are neither alphanumeric (any script)
+    nor whitespace. 0.0 for empty text."""
+    if not text:
+        return 0.0
+    symbols = sum(1 for ch in text if not (ch.isalnum() or ch.isspace()))
+    return symbols / len(text)
+
+
+def distinct_word_ratio(text: str) -> float:
+    """|distinct tokens| / |tokens|; 1.0 for empty text (no repetition)."""
+    toks = tokenize_ws(text)
+    if not toks:
+        return 1.0
+    return len(set(toks)) / len(toks)
+
+
+def duplicate_line_ratio(text: str) -> float:
+    """Fraction of non-blank lines that are repeats of an earlier line."""
+    lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+    if not lines:
+        return 0.0
+    return 1.0 - len(set(lines)) / len(lines)
+
+
+def quality_features(text: str) -> dict[str, float]:
+    """All stateless quality features for one document."""
+    return {
+        "q_n_chars": len(text),
+        "q_n_words": token_count(text),
+        "q_symbol_ratio": symbol_ratio(text),
+        "q_distinct_word_ratio": distinct_word_ratio(text),
+        "q_duplicate_line_ratio": duplicate_line_ratio(text),
+    }
+
+
+def heuristic_reasons(feats: dict[str, float], cfg: QualityConfig) -> list[str]:
+    """Reason codes from the stateless features alone."""
+    reasons: list[str] = []
+    if feats["q_n_chars"] < cfg.min_chars:
+        reasons.append(REASON_TOO_SHORT)
+    if feats["q_n_chars"] > cfg.max_chars:
+        reasons.append(REASON_TOO_LONG)
+    if feats["q_n_words"] < cfg.min_words:
+        reasons.append(REASON_TOO_FEW_WORDS)
+    if feats["q_symbol_ratio"] > cfg.max_symbol_ratio:
+        reasons.append(REASON_SYMBOL_RATIO)
+    if feats["q_distinct_word_ratio"] < cfg.min_distinct_word_ratio:
+        reasons.append(REASON_WORD_REPETITION)
+    if feats["q_duplicate_line_ratio"] > cfg.max_duplicate_line_ratio:
+        reasons.append(REASON_LINE_REPETITION)
+    return reasons
+
+
+def model_reasons(
+    lang_confidence: float, log_perplexity: float, cfg: QualityConfig
+) -> list[str]:
+    """Reason codes from the actor-pool model signals."""
+    reasons: list[str] = []
+    if lang_confidence < cfg.min_lang_confidence:
+        reasons.append(REASON_LANG_CONFIDENCE)
+    if log_perplexity > cfg.max_log_perplexity:
+        reasons.append(REASON_PERPLEXITY)
+    return reasons
