@@ -1,0 +1,104 @@
+"""The flagship pipeline: Common-Crawl-style pages → filtered, scrubbed corpus.
+
+Idiomatic Ray Data composition — every stage is a batch transform over
+zero-copy Arrow blocks; the executor streams blocks through with
+backpressure, nothing materializes mid-pipeline:
+
+    read_parquet (url, warc_ts, html)          # columns pruned at the read
+      → extract_batch          (stateless task: html → text, byte-identical)
+      → LangIdBatcher          (actor pool: model built once per actor)
+      → PerplexityBatcher      (actor pool)
+      → quality_features_batch (stateless task)
+      → GateBatcher            (keep/drop + reason codes)
+      → pii_scrub_batch        (stateless task: detect + redact)
+      → NameDisambiguator      (actor pool: candidate re-scoring)
+
+The per-document semantics equal pipelines/oracle.process_document exactly
+(golden test). The hot path is shuffle-free map-only, so throughput scales
+linearly with cores/nodes — the property the N→4N efficiency target needs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import ray.data
+
+from ..functions.quality import QualityConfig
+from ..stages.classifier import NameDisambiguator
+from ..stages.detect import pii_scrub_batch
+from ..stages.extract import drop_html, extract_batch
+from ..stages.langid import LangIdBatcher
+from ..stages.perplexity import PerplexityBatcher
+from ..stages.quality_gate import GateBatcher, quality_features_batch
+
+INPUT_COLUMNS = ["url", "warc_ts", "html"]
+
+
+@dataclass(frozen=True)
+class PipelineOptions:
+    batch_size: int = 256
+    # (min, max) actor-pool sizes for the stateful stages; autoscaling lets
+    # the executor rebalance between model stages and stateless tasks.
+    langid_actors: tuple[int, int] = (1, 8)
+    ppl_actors: tuple[int, int] = (1, 8)
+    classifier_actors: tuple[int, int] = (1, 4)
+    with_classifier: bool = True
+    keep_html: bool = False
+    quality: QualityConfig = QualityConfig()
+
+
+def read_pages(input_path: str | list[str]) -> ray.data.Dataset:
+    """Read the input table with column pruning: the pipeline recomputes
+    ``text`` from ``html``, so only (url, warc_ts, html) leave storage."""
+    return ray.data.read_parquet(input_path, columns=INPUT_COLUMNS)
+
+
+def build_pipeline(
+    source: str | list[str] | ray.data.Dataset,
+    opts: PipelineOptions | None = None,
+) -> ray.data.Dataset:
+    opts = opts or PipelineOptions()
+    ds = source if isinstance(source, ray.data.Dataset) else read_pages(source)
+
+    ds = ds.map_batches(
+        extract_batch, batch_format="pyarrow", batch_size=opts.batch_size
+    )
+    if not opts.keep_html:
+        ds = ds.map_batches(
+            drop_html, batch_format="pyarrow", batch_size=opts.batch_size
+        )
+    ds = ds.map_batches(
+        LangIdBatcher,
+        batch_format="pyarrow",
+        batch_size=opts.batch_size,
+        concurrency=opts.langid_actors,
+    )
+    ds = ds.map_batches(
+        PerplexityBatcher,
+        batch_format="pyarrow",
+        batch_size=opts.batch_size,
+        concurrency=opts.ppl_actors,
+    )
+    ds = ds.map_batches(
+        quality_features_batch, batch_format="pyarrow", batch_size=opts.batch_size
+    )
+    ds = ds.map_batches(
+        GateBatcher(opts.quality), batch_format="pyarrow", batch_size=opts.batch_size
+    )
+    ds = ds.map_batches(
+        pii_scrub_batch, batch_format="pyarrow", batch_size=opts.batch_size
+    )
+    if opts.with_classifier:
+        ds = ds.map_batches(
+            NameDisambiguator,
+            batch_format="pyarrow",
+            batch_size=opts.batch_size,
+            concurrency=opts.classifier_actors,
+        )
+    return ds
+
+
+def kept_corpus(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """The output corpus: kept documents only, scrubbed text as payload."""
+    return ds.filter(lambda row: row["keep"])
