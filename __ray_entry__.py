@@ -1,44 +1,73 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship quality-filter + PII-scrub pipeline (SURVEY.md §7)
+over the sf0.001 documents table (wrapped into the input_hint page shape)
+unioned with the synthetic Korean PII corpus.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (+ the dedup / similarity / multimodal / text-analysis
+additions); SQL oracles for every SQL-expressible one.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime
 from typing import Any
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _wrap_testdata_as_pages(sf_dir: str):
+    """documents(doc_id, text, ...) → input_hint pages (url, warc_ts, html)."""
+    import pyarrow as pa
+    import ray.data
+
+    from pii_detection_test_ray.sources.corpus import render_html
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    base_ts = datetime(2024, 6, 1)
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"https://testdata.example-archive.kr/doc/{i}" for i in ids],
+                    pa.string(),
+                ),
+                "warc_ts": pa.array([base_ts] * len(ids), pa.timestamp("us")),
+                "html": pa.array(
+                    [render_html(t, i, f"doc {i}") for i, t in zip(ids, texts)],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
 
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from pii_detection_test_ray.pipelines.quality_filter import build_pipeline, read_pages
+    from pii_detection_test_ray.pipelines.queries import synthetic_corpus_dir
+
+    synth = read_pages(f"{synthetic_corpus_dir()}/documents")
+    pages = _wrap_testdata_as_pages(SF0001).union(synth)
+    return build_pipeline(pages)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pii_detection_test_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pii_detection_test_ray.pipelines.sql_oracles import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: time the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line.
+
+--scaling: run the flagship pipeline twice in fresh processes (num_cpus=8
+then 32) on the same input and report both throughputs + scaling
+efficiency (the in-sandbox stand-in for the N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "24000"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+
+def bench_corpus_dir() -> str:
+    """Bench-scale synthetic input_hint corpus with a giant-page skew tail
+    (cached on disk; generation excluded from timings)."""
+    from pii_detection_test_ray.pipelines.queries import synthetic_corpus_dir
+
+    return synthetic_corpus_dir(n_docs=BENCH_DOCS, giant_every=500)
+
+
+def run_flagship(num_cpus: int) -> dict:
+    """Flagship quality-filter+scrub pipeline, consumed by writing Parquet
+    (streaming; nothing materializes on the driver)."""
+    import shutil
+
+    from pii_detection_test_ray.pipelines.quality_filter import (
+        PipelineOptions,
+        build_pipeline,
+    )
+
+    corpus = bench_corpus_dir()
+    out_dir = f"/tmp/pdtr_bench_out_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    opts = PipelineOptions(
+        batch_size=256,
+        langid_actors=(2, max(2, num_cpus // 2)),
+        ppl_actors=(2, max(2, num_cpus // 2)),
+        classifier_actors=(1, max(1, num_cpus // 4)),
+    )
+    t0 = time.time()
+    ds = build_pipeline(f"{corpus}/documents", opts)
+    ds.write_parquet(out_dir)
+    wall = time.time() - t0
+    import pyarrow.parquet as pq
+
+    n_rows = sum(
+        pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    return {"wall_sec": round(wall, 3), "docs": n_rows, "docs_per_sec": round(n_rows / wall, 1)}
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Representative operator suite over the driver tables."""
+    from pii_detection_test_ray.pipelines import queries as Q
+
+    timings: dict[str, float] = {}
+    suite = {
+        "lineitem_rollup": Q.q_lineitem_rollup,
+        "orders_by_segment": Q.q_orders_by_segment,
+        "events_rollup": Q.q_events_rollup,
+        "dedup_exact": Q.q_dedup_exact,
+        "token_counts": Q.q_token_counts,
+        "knn_cosine": Q.q_knn_cosine,
+        "fingerprints": Q.q_fingerprints,
+    }
+    for name, fn in suite.items():
+        t0 = time.time()
+        ds = fn(sf_dir)
+        ds.to_pandas()  # small results; consume fully
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    if "--flagship-only" in sys.argv:
+        # Child mode for --scaling: fresh Ray session at the given CPU count.
+        num_cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+        _init_ray(num_cpus)
+        result = run_flagship(num_cpus)
+        result["num_cpus"] = num_cpus
+        print("CHILD_RESULT " + json.dumps(result))
+        import ray
+
+        ray.shutdown()
+        return
+
+    if "--scaling" in sys.argv:
+        # Ensure the corpus cache exists before timing children.
+        bench_corpus_dir()
+        results = {}
+        for n in (8, 32):
+            env = dict(os.environ)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flagship-only",
+                 "--cpus", str(n)],
+                capture_output=True, text=True, env=env, check=False,
+            )
+            line = next(
+                (ln for ln in proc.stdout.splitlines() if ln.startswith("CHILD_RESULT ")),
+                None,
+            )
+            if line is None:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+                raise RuntimeError(f"scaling child (cpus={n}) failed")
+            results[n] = json.loads(line[len("CHILD_RESULT "):])
+        speedup = results[32]["docs_per_sec"] / results[8]["docs_per_sec"]
+        efficiency = speedup / (32 / 8)
+        print(json.dumps({
+            "metric": "flagship scaling 8→32 cpus",
+            "value": round(efficiency, 3),
+            "unit": "efficiency",
+            "throughput_8": results[8]["docs_per_sec"],
+            "throughput_32": results[32]["docs_per_sec"],
+            "wall_8": results[8]["wall_sec"],
+            "wall_32": results[32]["wall_sec"],
+            "speedup": round(speedup, 2),
+            "docs": results[32]["docs"],
+        }))
+        return
+
+    _init_ray(NUM_CPUS)
+    flagship = run_flagship(NUM_CPUS)
+    queries = run_queries(SF_DIR)
+    total = round(flagship["wall_sec"] + sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "flagship quality-filter+scrub wall + operator suite",
+        "value": total,
+        "unit": "sec",
+        "queries": {"flagship": flagship["wall_sec"], **queries},
+        "flagship_docs_per_sec": flagship["docs_per_sec"],
+        "flagship_docs": flagship["docs"],
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

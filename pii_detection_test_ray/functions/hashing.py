@@ -34,6 +34,14 @@ def text_fingerprint(text: str, normalize: bool = True) -> str:
     return hashlib.blake2b(text.encode("utf-8"), digest_size=16).hexdigest()
 
 
+def text_fingerprint_md5(text: str) -> str:
+    """Whitespace/case-normalized md5 hex — chosen (over blake2b) for the
+    cross-engine contract: equals DuckDB's
+    ``md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))``."""
+    normalized = " ".join(text.lower().split())
+    return hashlib.md5(normalized.encode("utf-8")).hexdigest()
+
+
 def rolling_fingerprint(text: str, window: int = 64, base: int = 257) -> int:
     """Polynomial rolling-hash document fingerprint: XOR of the per-window
     rolling hashes sampled where hash % 16 == 0 (winnowing-style selection),
@@ -88,19 +96,23 @@ class MinHasher:
     def __init__(self, num_perm: int = 128, seed: int = 42) -> None:
         rng = np.random.RandomState(seed)
         self.num_perm = num_perm
-        # a < 2^29 and 32-bit shingle hashes keep a*h + b < 2^62: exact in
-        # uint64, no object-dtype bignum fallback in the hot path.
-        self.a = rng.randint(1, 1 << 29, size=num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE_61, size=num_perm, dtype=np.uint64)
+        # Multiply-shift family mod 2^64: odd multipliers, natural uint64
+        # wraparound supplies the mixing (a bounded-`a` mod-p scheme is
+        # nearly order-preserving → correlated permutations → biased
+        # Jaccard estimates; caught by tests/test_functions.py).
+        a = rng.randint(0, np.iinfo(np.int64).max, size=num_perm).astype(np.uint64)
+        self.a = (a << np.uint64(1)) | np.uint64(1)
+        self.b = rng.randint(0, np.iinfo(np.int64).max, size=num_perm).astype(
+            np.uint64
+        )
 
     def signature(self, hashes: np.ndarray) -> np.ndarray:
         """(num_perm,) uint64 signature; all-max for an empty set."""
         if hashes.size == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        h = hashes.astype(np.uint64) & np.uint64(0xFFFFFFFF)
-        acc = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(
-            _MERSENNE_61
-        )
+        h = hashes.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            acc = self.a[:, None] * h[None, :] + self.b[:, None]  # wraps mod 2^64
         return np.min(acc, axis=1)
 
     def signature_for_text(self, text: str, ngram: int = 3) -> np.ndarray:

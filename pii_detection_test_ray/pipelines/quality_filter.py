@@ -43,6 +43,11 @@ class PipelineOptions:
     langid_actors: tuple[int, int] = (1, 8)
     ppl_actors: tuple[int, int] = (1, 8)
     classifier_actors: tuple[int, int] = (1, 4)
+    # Fractional CPUs per model actor: these models are lightweight, and on
+    # a small cluster whole-CPU actor minimums across several pools can
+    # reserve every core and starve the read tasks (observed deadlock at
+    # num_cpus=4). 0.5 lets pools and tasks share.
+    actor_num_cpus: float = 0.5
     with_classifier: bool = True
     keep_html: bool = False
     quality: QualityConfig = QualityConfig()
@@ -73,12 +78,14 @@ def build_pipeline(
         batch_format="pyarrow",
         batch_size=opts.batch_size,
         concurrency=opts.langid_actors,
+        num_cpus=opts.actor_num_cpus,
     )
     ds = ds.map_batches(
         PerplexityBatcher,
         batch_format="pyarrow",
         batch_size=opts.batch_size,
         concurrency=opts.ppl_actors,
+        num_cpus=opts.actor_num_cpus,
     )
     ds = ds.map_batches(
         quality_features_batch, batch_format="pyarrow", batch_size=opts.batch_size
@@ -95,10 +102,17 @@ def build_pipeline(
             batch_format="pyarrow",
             batch_size=opts.batch_size,
             concurrency=opts.classifier_actors,
+            num_cpus=opts.actor_num_cpus,
         )
     return ds
 
 
 def kept_corpus(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """The output corpus: kept documents only, scrubbed text as payload."""
-    return ds.filter(lambda row: row["keep"])
+    """The output corpus: kept documents only, scrubbed text as payload.
+    Vectorized batch filter (``ds.filter(fn)`` would call Python per row)."""
+    import pyarrow as pa
+
+    def only_kept(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("keep"))
+
+    return ds.map_batches(only_kept, batch_format="pyarrow")

@@ -1,0 +1,523 @@
+"""Driver-facing query registry: each entry is a named pipeline/operator
+from SURVEY.md §2 (plus the large-scale additions), runnable over the
+driver's testdata directory, paired where SQL-expressible with an ANSI-SQL
+oracle (pipelines/sql_oracles.py) for DuckDB cross-checking.
+
+Numeric contract with the oracle: cross-engine value-hash comparison demands
+bit-identical doubles, so every aggregate is either an exact-integer sum, an
+exact division of two integers, or money summed in integer cents — never an
+order-dependent float sum.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+from ..functions.hashing import text_fingerprint_md5
+from ..functions.quality import distinct_word_ratio, token_count
+from ..stages.dedup import (
+    dedup_exact,
+    embedding_duplicate_pairs,
+    minhash_duplicate_pairs,
+    ngram_jaccard_pairs,
+    simhash_duplicate_pairs,
+)
+from ..stages.similarity import knn_brute_force, knn_ivf
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """Column-pruned read. For small files Ray's default 200-block minimum
+    turns every downstream groupby into a 200-partition shuffle of crumbs;
+    cap blocks at the cluster CPU count. Big files keep Ray's size-based
+    splitting (what a 100 TB table needs)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    override = None
+    try:
+        if os.path.getsize(path) < 1 << 30:
+            override = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except OSError:
+        pass
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=override)
+
+
+def _rename(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
+    def fix(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [mapping.get(name, name) for name in batch.column_names]
+        )
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SQL-verified queries (documents / embeddings / TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_profile(sf_dir: str) -> ray.data.Dataset:
+    """A3/A4-style grouped rollup: per-language doc counts + char totals."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    agg = ds.groupby("lang").aggregate(Count(), Sum("n_chars"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("count()").to_pylist()
+        total = batch.column("sum(n_chars)").to_pylist()
+        avg = [t / c for t, c in zip(total, n)]  # exact int division → stable
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": pa.array(n, pa.int64()),
+                "total_chars": pa.array(total, pa.int64()),
+                "avg_chars": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_quality_stats(sf_dir: str) -> ray.data.Dataset:
+    """Quality-gate rollup per source: SQL-expressible slice of the gate
+    (length bounds + word count + distinct-word ratio)."""
+    ds = _read(sf_dir, "documents", ["source", "text", "n_chars"])
+
+    def features(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_chars = batch.column("n_chars").to_pylist()
+        words = [token_count(t) for t in texts]
+        distinct = [int(round(distinct_word_ratio(t) * token_count(t))) for t in texts]
+        keep = [
+            int(150 <= c <= 450 and w >= 20 and (d / w if w else 1.0) >= 0.2)
+            for c, w, d in zip(n_chars, words, distinct)
+        ]
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_words": pa.array(words, pa.int64()),
+                "n_distinct_words": pa.array(distinct, pa.int64()),
+                "kept": pa.array(keep, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(features, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(), Sum("n_words"), Sum("n_distinct_words"), Sum("kept"))
+    )
+    return _rename(
+        agg,
+        {
+            "count()": "n_docs",
+            "sum(n_words)": "total_words",
+            "sum(n_distinct_words)": "total_distinct_words",
+            "sum(kept)": "n_kept",
+        },
+    )
+
+
+def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup on text content: min doc_id per identical text."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_exact(ds, id_col="doc_id", text_col="text").select_columns(["doc_id"])
+
+
+def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Per-document normalized content fingerprint (md5, cross-engine)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint": pa.array(
+                    [text_fingerprint_md5(t) for t in batch.column("text").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def q_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Whitespace token counting rollup per source."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def tok(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_tokens": pa.array(
+                    [token_count(t) for t in batch.column("text").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(tok, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_tokens"), Max("n_tokens"), Count())
+    )
+    return _rename(
+        agg,
+        {
+            "sum(n_tokens)": "total_tokens",
+            "max(n_tokens)": "max_tokens",
+            "count()": "n_docs",
+        },
+    )
+
+
+def q_top_longest(sf_dir: str) -> ray.data.Dataset:
+    """Sort + limit (O1/O2 shape): 20 longest docs."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+
+
+def q_lineitem_rollup(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q1-shaped wide aggregation with an exact-cents money contract."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+    cutoff = datetime(1998, 9, 1)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(batch.column("l_shipdate"), pa.scalar(cutoff))
+        batch = batch.filter(mask)
+        qty = pc.cast(pc.round(batch.column("l_quantity"), 0), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0), 0),
+            pa.int64(),
+        )
+        disc_pct = pc.cast(
+            pc.round(pc.multiply(batch.column("l_discount"), 100.0), 0), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": qty,
+                "price_cents": cents,
+                "disc_pct": disc_pct,
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty"), Sum("price_cents"), Sum("disc_pct"), Count())
+    )
+    return _rename(
+        agg,
+        {
+            "sum(qty)": "sum_qty",
+            "sum(price_cents)": "sum_price_cents",
+            "sum(disc_pct)": "sum_disc_pct",
+            "count()": "n_rows",
+        },
+    )
+
+
+def q_orders_by_segment(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast hash join (J1 shape): orders ⋈ customer on custkey, rolled
+    up by market segment. Small side shipped once via ray.put."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).take_all()
+    seg_by_key = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
+    seg_ref = ray.put(seg_by_key)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        segs = ray.get(seg_ref)
+        keys = batch.column("o_custkey").to_pylist()
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0), 0), pa.int64()
+        ).to_pylist()
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(
+                    [segs.get(k, "UNKNOWN") for k in keys], pa.string()
+                ),
+                "price_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    agg = (
+        orders.map_batches(join, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(), Sum("price_cents"))
+    )
+    return _rename(agg, {"count()": "n_orders", "sum(price_cents)": "total_cents"})
+
+
+def q_customers_per_region(sf_dir: str) -> ray.data.Dataset:
+    """Two chained broadcast joins: customer ⋈ nation ⋈ region."""
+    nations = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in _read(sf_dir, "nation").take_all()
+    }
+    regions = {
+        r["r_regionkey"]: r["r_name"] for r in _read(sf_dir, "region").take_all()
+    }
+    lookup_ref = ray.put((nations, regions))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        nat, reg = ray.get(lookup_ref)
+        nk = batch.column("c_nationkey").to_pylist()
+        bal_cents = pc.cast(
+            pc.round(pc.multiply(batch.column("c_acctbal"), 100.0), 0), pa.int64()
+        )
+        return pa.table(
+            {
+                "r_name": pa.array([reg[nat[k]] for k in nk], pa.string()),
+                "bal_cents": bal_cents,
+            }
+        )
+
+    agg = (
+        cust.map_batches(join, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(), Sum("bal_cents"))
+    )
+    return _rename(agg, {"count()": "n_customers", "sum(bal_cents)": "total_bal_cents"})
+
+
+def q_events_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Event-stream rollup: per event type, count + exact distinct users +
+    value total (integer micro-units)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 1_000_000.0), 0), pa.int64()
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "user_id": batch.column("user_id"),
+                "value_micros": micros,
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+
+    def per_group(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": group.column("event_type").slice(0, 1),
+                "n_events": pa.array([group.num_rows], pa.int64()),
+                "n_users": pa.array(
+                    [pc.count_distinct(group.column("user_id")).as_py()], pa.int64()
+                ),
+                "total_value_micros": pa.array(
+                    [pc.sum(group.column("value_micros")).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    return prepped.groupby("event_type").map_groups(per_group, batch_format="pyarrow")
+
+
+def q_knn_cosine(sf_dir: str) -> ray.data.Dataset:
+    """Brute-force cosine top-k over the embeddings table; the query vector
+    is vec_id 0's embedding. Scores in exact float64 (both engines upcast
+    the float32 column), so values hash-match DuckDB."""
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    table = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    q = None
+    for row in table.slice(0, 64).to_pylist():
+        if row["vec_id"] == 0:
+            q = np.asarray(row["embedding"], dtype=np.float64)
+            break
+    assert q is not None
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = knn_brute_force(ds, q[None, :], k=10, id_col="vec_id")
+    return out.select_columns(["vec_id", "score"]).map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("score"),
+            "score",
+            pc.round(b.column("score"), 6),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (non-SQL-expressible: model stages, LSH, multimodal)
+# ---------------------------------------------------------------------------
+
+_SYNTH_CACHE: dict[tuple, str] = {}
+
+
+def synthetic_corpus_dir(n_docs: int = 400, giant_every: int = 0) -> str:
+    """Deterministic synthetic input_hint corpus, cached under /tmp."""
+    from ..sources.corpus import CorpusConfig, write_corpus
+
+    key = (n_docs, giant_every)
+    if key not in _SYNTH_CACHE:
+        path = f"/tmp/pdtr_synth_{n_docs}_{giant_every}"
+        marker = os.path.join(path, "_complete")
+        if not os.path.exists(marker):
+            write_corpus(path, CorpusConfig(n_docs=n_docs, giant_every=giant_every), shards=8)
+            open(marker, "w").close()
+        _SYNTH_CACHE[key] = path
+    return _SYNTH_CACHE[key]
+
+
+def q_pii_scrub_corpus(sf_dir: str) -> ray.data.Dataset:
+    """The flagship pipeline over the synthetic input_hint corpus: kept,
+    scrubbed documents."""
+    from .quality_filter import build_pipeline, kept_corpus
+
+    corpus = synthetic_corpus_dir()
+    ds = build_pipeline(f"{corpus}/documents")
+    return kept_corpus(ds).select_columns(
+        ["url", "pred_lang", "lang_confidence", "log_perplexity",
+         "n_pii_spans", "scrubbed_text"]
+    )
+
+
+def q_pii_eval_rollup(sf_dir: str) -> ray.data.Dataset:
+    """A3 rollup: pipeline detections vs golden labels per PII category."""
+    from .quality_filter import build_pipeline
+    from ..stages.eval_agg import metric_rows, rollup_by_pii_category
+
+    corpus = synthetic_corpus_dir()
+    ds = build_pipeline(f"{corpus}/documents")
+    rows = metric_rows(ds, f"{corpus}/labels.parquet")
+    return rollup_by_pii_category(rows)
+
+
+def q_langid_accuracy(sf_dir: str) -> ray.data.Dataset:
+    """LangID stage accuracy vs golden lang on the synthetic corpus."""
+    from .quality_filter import build_pipeline
+
+    corpus = synthetic_corpus_dir()
+    ds = build_pipeline(f"{corpus}/documents")
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        golden = {
+            r["url"]: r["lang"]
+            for r in pq.read_table(
+                f"{synthetic_corpus_dir()}/documents", columns=["url", "lang"]
+            ).to_pylist()
+        }
+        urls = batch.column("url").to_pylist()
+        preds = batch.column("pred_lang").to_pylist()
+        langs = [golden[u] for u in urls]
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "correct": pa.array(
+                    [int(p == g) for p, g in zip(preds, langs)], pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(), Sum("correct"))
+    )
+    return _rename(agg, {"count()": "n_docs", "sum(correct)": "n_correct"})
+
+
+def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    from .quality_filter import read_pages
+    from ..stages.extract import drop_html, extract_batch
+
+    corpus = synthetic_corpus_dir()
+    ds = (
+        read_pages(f"{corpus}/documents")
+        .map_batches(extract_batch, batch_format="pyarrow")
+        .map_batches(drop_html, batch_format="pyarrow")
+    )
+    return minhash_duplicate_pairs(ds, threshold=0.6)
+
+
+def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    corpus = synthetic_corpus_dir()
+    ds = ray.data.read_parquet(f"{corpus}/documents", columns=["url", "text"])
+    return simhash_duplicate_pairs(ds, max_hamming=3)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
+    corpus = synthetic_corpus_dir()
+    ds = ray.data.read_parquet(f"{corpus}/documents", columns=["url", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5)
+
+
+def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Embedding near-dup over the driver's embeddings table (64-dim)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_duplicate_pairs(ds, dim=64, threshold=0.95, n_planes=10)
+
+
+def q_knn_ivf(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    first = pq.read_table(emb_path, columns=["vec_id", "embedding"]).slice(0, 1)
+    q = np.asarray(first.to_pylist()[0]["embedding"], dtype=np.float64)
+    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    return knn_ivf(ds, q[None, :], k=10, n_clusters=16, nprobe=6, id_col="vec_id")
+
+
+def q_multimodal_features(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.multimodal import ImageFeatureBatcher, make_fake_media
+
+    rows = [
+        {"media_id": i, "media": make_fake_media("I", 64 + (i % 32), 48, 1, seed=i)}
+        for i in range(64)
+    ]
+    ds = ray.data.from_items(rows)
+    return ds.map_batches(
+        ImageFeatureBatcher, batch_format="pyarrow", batch_size=16,
+        concurrency=(1, 2),
+    ).select_columns(["media_id", "img_width", "img_height", "img_mean_pixel"])
+
+
+QUERIES = {
+    # SQL-verified
+    "lang_profile": q_lang_profile,
+    "quality_stats": q_quality_stats,
+    "dedup_exact": q_dedup_exact,
+    "fingerprints": q_fingerprints,
+    "token_counts": q_token_counts,
+    "top_longest": q_top_longest,
+    "lineitem_rollup": q_lineitem_rollup,
+    "orders_by_segment": q_orders_by_segment,
+    "customers_per_region": q_customers_per_region,
+    "events_rollup": q_events_rollup,
+    "knn_cosine": q_knn_cosine,
+    # rows-only
+    "pii_scrub_corpus": q_pii_scrub_corpus,
+    "pii_eval_rollup": q_pii_eval_rollup,
+    "langid_accuracy": q_langid_accuracy,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "knn_ivf": q_knn_ivf,
+    "multimodal_features": q_multimodal_features,
+}

@@ -1,0 +1,105 @@
+"""DuckDB oracle SQL for every SQL-expressible query in queries.py.
+
+Column names and numeric contracts (integer sums, exact int/int divisions,
+money in cents) match the Ray implementations exactly — the driver compares
+value hashes after sorting columns by name.
+"""
+
+ORACLES: dict[str, str] = {
+    "lang_profile": """
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               sum(n_chars)::DOUBLE / count(*) AS avg_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    "quality_stats": """
+        WITH feats AS (
+            SELECT source,
+                   n_chars,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                   len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_distinct
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_words) AS total_words,
+               sum(n_distinct) AS total_distinct_words,
+               sum(CASE WHEN n_chars BETWEEN 150 AND 450
+                         AND n_words >= 20
+                         AND n_distinct::DOUBLE / n_words >= 0.2
+                        THEN 1 ELSE 0 END) AS n_kept
+        FROM feats
+        GROUP BY source
+    """,
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id
+        FROM documents
+        GROUP BY text
+    """,
+    "fingerprints": """
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+    "token_counts": """
+        SELECT source,
+               sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+               max(len(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY source
+    """,
+    "top_longest": """
+        SELECT doc_id, n_chars
+        FROM documents
+        ORDER BY n_chars DESC, doc_id
+        LIMIT 20
+    """,
+    "lineitem_rollup": """
+        SELECT l_returnflag,
+               l_linestatus,
+               sum(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_cents,
+               sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS sum_disc_pct,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "orders_by_segment": """
+        SELECT c.c_mktsegment,
+               count(*) AS n_orders,
+               sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS total_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "customers_per_region": """
+        SELECT r.r_name,
+               count(*) AS n_customers,
+               sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS total_bal_cents
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    "events_rollup": """
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS total_value_micros
+        FROM events
+        GROUP BY event_type
+    """,
+    "knn_cosine": """
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                 e.vec_id
+        LIMIT 10
+    """,
+}

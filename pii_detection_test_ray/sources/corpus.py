@@ -262,7 +262,9 @@ def _doc_obfuscated(rng):
         tail = f"{rng.randint(1, 4)}{rng.randint(100000, 999999)}"
         spaced = " ".join(digits) + " - " + " ".join(tail)
         text = f"스캔 문서 일부\n\n식별번호 {spaced} (공백 삽입됨)\n\n{_fill(rng, 1)}"
-        expected = [("주민등록번호", f"{digits}-{tail}")]
+        # Extraction-verbatim rule (reference prompt run_pii_evaluation.py:125):
+        # the golden value is the spaced string exactly as it appears.
+        expected = [("주민등록번호", spaced)]
     elif kind == 1:
         korean_digits = "공일공-" + "".join(
             rng.choice(["일", "이", "삼", "사", "오", "육", "칠", "팔", "구"]) for _ in range(4)
@@ -306,7 +308,7 @@ CLEAN_CATEGORIES = frozenset(
     {
         "이름", "주소", "주민등록번호", "여권번호", "운전면허번호", "이메일",
         "IP주소", "전화번호", "계좌번호", "카드번호", "생년월일",
-        "기타_고유식별정보", "복합",
+        "기타_고유식별정보", "복합", "근접중복",
     }
 )
 
@@ -362,7 +364,7 @@ def generate_corpus(cfg: CorpusConfig) -> tuple[pa.Table, pa.Table | None]:
     n_dup = int(n * cfg.near_dup_fraction)
     n_pii = n - n_foreign - n_garbage - n_dup
 
-    dup_source_texts: list[str] = []
+    dup_sources: list[tuple[str, list]] = []
 
     for i in range(n):
         rng = random.Random((cfg.seed << 20) ^ i)
@@ -371,16 +373,18 @@ def generate_corpus(cfg: CorpusConfig) -> tuple[pa.Table, pa.Table | None]:
             builder = _PII_BUILDERS[i % len(_PII_BUILDERS)]
             doc_text, expected, category, difficulty = builder(rng)
             lang = "ko"
-            if len(dup_source_texts) < 64:
-                dup_source_texts.append(doc_text)
-        elif i < n_pii + n_dup and dup_source_texts:
-            # Near-duplicate: mutate an earlier document slightly.
-            src = dup_source_texts[i % len(dup_source_texts)]
+            if len(dup_sources) < 64:
+                dup_sources.append((doc_text, expected))
+        elif i < n_pii + n_dup and dup_sources:
+            # Near-duplicate: mutate an earlier document slightly. The PII
+            # payload survives the mutation, so the clone inherits its
+            # source's golden labels.
+            src, src_expected = dup_sources[i % len(dup_sources)]
             lines = src.split("\n")
             j = rng.randrange(len(lines))
             lines[j] = lines[j] + " (사본)"
             doc_text = "\n".join(lines)
-            expected, category, difficulty, lang = [], "근접중복", "EASY", "ko"
+            expected, category, difficulty, lang = list(src_expected), "근접중복", "EASY", "ko"
         elif i < n_pii + n_dup + n_foreign:
             doc_text, lang = _foreign_doc(rng)
             expected, category, difficulty = [], "외국어", "EASY"

@@ -1,0 +1,112 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata.
+
+Real pipelines decode images/audio/video; the decode libraries are not in
+this container, so the DECODE KERNELS are stubbed (clearly marked) behind a
+deterministic synthetic container format — but the Ray-side plumbing is
+real: actor-pool ``map_batches`` stages with small batch sizes (binary
+payloads are large → batch bytes, not row count, bound memory), typed Arrow
+schemas in and out, and tested end-to-end.
+
+Synthetic container format (``make_fake_media``):
+    b"MM01" | kind(1B: I/A/V) | width(u16) | height(u16) | n_frames(u16)
+    | payload bytes (pseudo-pixels, seeded)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+MAGIC = b"MM01"
+_HEADER = struct.Struct(">4sc3H")
+
+
+def make_fake_media(kind: str, width: int, height: int, n_frames: int, seed: int) -> bytes:
+    """Deterministic fake media blob (kind ∈ {'I','A','V'})."""
+    rng = np.random.RandomState(seed)
+    payload = rng.randint(0, 256, size=min(width * height, 4096), dtype=np.uint8)
+    return _HEADER.pack(MAGIC, kind.encode(), width, height, n_frames) + payload.tobytes()
+
+
+def parse_header(blob: bytes) -> tuple[str, int, int, int]:
+    magic, kind, w, h, f = _HEADER.unpack_from(blob)
+    if magic != MAGIC:
+        raise ValueError("not a synthetic media blob")
+    return kind.decode(), w, h, f
+
+
+class ImageFeatureBatcher:
+    """Actor-pool stage: binary image column → (width, height, mean_pixel).
+
+    With a real decoder (PIL/opencv — not in this container) ``_decode``
+    would produce an ndarray; the synthetic path parses the deterministic
+    container instead. Import-gated so dropping a real decoder in changes
+    nothing upstream.
+    """
+
+    def __init__(self, media_col: str = "media") -> None:
+        self.media_col = media_col
+        try:  # pragma: no cover - library absent in this container
+            import PIL.Image  # type: ignore # noqa: F401
+
+            self._real = True
+        except ImportError:
+            self._real = False
+
+    def _decode(self, blob: bytes) -> tuple[int, int, float]:
+        if self._real:  # pragma: no cover
+            raise NotImplementedError(
+                "real image decode is stubbed in this environment"
+            )
+        kind, w, h, _ = parse_header(blob)
+        if kind != "I":
+            raise ValueError(f"expected image blob, got kind={kind}")
+        pixels = np.frombuffer(blob[_HEADER.size :], dtype=np.uint8)
+        return w, h, float(pixels.mean()) if pixels.size else 0.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, means = [], [], []
+        for blob in batch.column(self.media_col).to_pylist():
+            w, h, m = self._decode(blob)
+            widths.append(w)
+            heights.append(h)
+            means.append(round(m, 4))
+        return (
+            batch.append_column("img_width", pa.array(widths, pa.int32()))
+            .append_column("img_height", pa.array(heights, pa.int32()))
+            .append_column("img_mean_pixel", pa.array(means, pa.float64()))
+        )
+
+
+class FrameSampleBatcher:
+    """Actor-pool stage: 'video' blobs → one row per sampled frame index
+    (flat-map shape: output rows ≠ input rows). Stride sampling, stub
+    'decode' emits the frame index + a deterministic frame checksum."""
+
+    def __init__(self, media_col: str = "media", stride: int = 10) -> None:
+        self.media_col = media_col
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        out_id, out_frame, out_sum = [], [], []
+        for media_id, blob in zip(ids, batch.column(self.media_col).to_pylist()):
+            kind, _, _, n_frames = parse_header(blob)
+            if kind != "V":
+                continue
+            payload = np.frombuffer(blob[_HEADER.size :], dtype=np.uint8)
+            for frame in range(0, n_frames, self.stride):
+                out_id.append(media_id)
+                out_frame.append(frame)
+                # Stand-in for per-frame decode: deterministic slice checksum.
+                sl = payload[frame % max(1, len(payload)) :: 7]
+                out_sum.append(int(sl.sum()) if sl.size else 0)
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_index": pa.array(out_frame, pa.int32()),
+                "frame_checksum": pa.array(out_sum, pa.int64()),
+            }
+        )

@@ -1,0 +1,180 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* ``knn_brute_force`` — the exact baseline: the (small) query matrix is
+  broadcast once via ``ray.put``; each Arrow batch computes a numpy matmul
+  against it and emits its local top-k; a ``groupby(query_id)`` reduces
+  local candidates to the global top-k. The heavy side (the corpus) is
+  never shuffled — only ≤ k·num_blocks candidate rows move.
+* ``knn_ivf`` — the scale path: seeded k-means centroids (built from a
+  bounded sample), corpus rows assigned to their nearest centroid inside
+  ``map_batches``, queries probe only the ``nprobe`` nearest centroids, so
+  the scored fraction is ~nprobe/n_clusters of the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_brute_force(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Exact cosine top-k: rows (query_id, vec_id, score), k rows per query,
+    scores descending, ties broken by ascending vec_id (deterministic)."""
+    q_unit = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q_unit)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        vecs = _normalize(_as_matrix(batch.column(vec_col)))
+        sims = q @ vecs.T  # (n_queries, batch)
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            # partial top-k then deterministic (−score, id) ordering
+            cand = np.argpartition(-row, kk - 1)[:kk]
+            cand = sorted(cand, key=lambda c: (-row[c], ids[c]))
+            for c in cand:
+                out_q.append(qi)
+                out_id.append(ids[c])
+                out_s.append(float(row[c]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(
+                group.column("score").to_pylist(),
+                group.column(id_col).to_pylist(),
+                group.column("query_id").to_pylist(),
+            ),
+            key=lambda r: (-r[0], r[1]),
+        )[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([r[2] for r in rows], pa.int64()),
+                id_col: pa.array([r[1] for r in rows]),
+                "score": pa.array([r[0] for r in rows], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(global_topk, batch_format="pyarrow")
+    )
+
+
+def kmeans_centroids(
+    sample: np.ndarray, n_clusters: int, n_iter: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a bounded in-memory sample."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)
+    centroids = sample[idx].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """IVF-style ANN: score only rows whose coarse cluster is among each
+    query's ``nprobe`` closest centroids. Same output shape as brute force;
+    approximate recall (tested ≥ the IVF guarantee on synthetic clusters)."""
+    sample_rows = ds.limit(sample_size).select_columns([vec_col]).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    centroids = kmeans_centroids(sample, n_clusters, seed=seed)
+
+    q_unit = _normalize(np.asarray(queries, dtype=np.float64))
+    probed = np.argsort(-(q_unit @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    state = ray.put((q_unit, centroids, probed))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q, cents, probe = ray.get(state)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        vecs = _normalize(_as_matrix(batch.column(vec_col)))
+        assign = np.argmax(vecs @ cents.T, axis=1)  # coarse cluster per row
+        out_q, out_id, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            mask = np.isin(assign, probe[qi])
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            sims = q[qi] @ vecs[mask].T
+            kk = min(k, len(sub_ids))
+            cand = np.argpartition(-sims, kk - 1)[:kk]
+            cand = sorted(cand, key=lambda c: (-sims[c], sub_ids[c]))
+            for c in cand:
+                out_q.append(qi)
+                out_id.append(sub_ids[c])
+                out_s.append(float(sims[c]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(
+                group.column("score").to_pylist(),
+                group.column(id_col).to_pylist(),
+                group.column("query_id").to_pylist(),
+            ),
+            key=lambda r: (-r[0], r[1]),
+        )[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([r[2] for r in rows], pa.int64()),
+                id_col: pa.array([r[1] for r in rows]),
+                "score": pa.array([r[0] for r in rows], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(global_topk, batch_format="pyarrow")
+    )

@@ -1,0 +1,126 @@
+"""Distributed dedup + ANN operators against planted ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import ray.data
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _docs_with_dups():
+    base = [
+        "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+        "completely different text about quarterly revenue growth in the third fiscal quarter",
+        "요약 보고서에는 지난 분기의 주요 성과와 향후 계획이 정리되어 있습니다",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append({"url": f"u{i:03d}a", "text": t})
+        rows.append({"url": f"u{i:03d}b", "text": t})  # exact dup
+        rows.append({"url": f"u{i:03d}c", "text": t + " appended"})  # near dup
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+    for i in range(20):
+        toks = [words[(i * 7 + j * 3) % len(words)] + str(i * 31 + j) for j in range(12)]
+        rows.append({"url": f"x{i:03d}", "text": " ".join(toks)})
+    return rows
+
+
+def test_dedup_exact(ray_session):
+    from pii_detection_test_ray.stages.dedup import dedup_exact
+
+    ds = ray.data.from_items(_docs_with_dups(), override_num_blocks=2)
+    kept = sorted(r["url"] for r in dedup_exact(ds).take_all())
+    # For each trio, the 'a' (min url) survives; 'b' is dropped; 'c' differs.
+    assert "u000a" in kept and "u000b" not in kept and "u000c" in kept
+    assert len(kept) == 3 * 2 + 20
+
+
+def test_minhash_pairs_and_dedup(ray_session):
+    from pii_detection_test_ray.stages.dedup import dedup_minhash, minhash_duplicate_pairs
+
+    ds = ray.data.from_items(_docs_with_dups(), override_num_blocks=2)
+    pairs = minhash_duplicate_pairs(ds, threshold=0.5).take_all()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert ("u000a", "u000b") in found  # identical
+    assert any(a == "u000a" and b == "u000c" for a, b in found)  # near dup
+    assert not any(a.startswith("x") or b.startswith("x") for a, b in found)
+
+    kept = {r["url"] for r in dedup_minhash(ds, threshold=0.5).take_all()}
+    assert "u000a" in kept and "u000b" not in kept
+
+
+def test_simhash_pairs(ray_session):
+    from pii_detection_test_ray.stages.dedup import simhash_duplicate_pairs
+
+    ds = ray.data.from_items(_docs_with_dups(), override_num_blocks=2)
+    pairs = simhash_duplicate_pairs(ds, max_hamming=3).take_all()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert ("u000a", "u000b") in found
+
+
+def test_ngram_jaccard_exact_verification(ray_session):
+    from pii_detection_test_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.from_items(_docs_with_dups(), override_num_blocks=2)
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5).take_all()
+    by_pair = {(p["id_a"], p["id_b"]): p["jaccard"] for p in pairs}
+    assert by_pair.get(("u000a", "u000b")) == 1.0
+
+
+def _embedding_rows(n=80, dim=16, seed=7):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        v = rng.randn(dim)
+        rows.append({"vec_id": i, "embedding": (v / np.linalg.norm(v)).tolist()})
+    # planted near-dup of vec 0
+    v0 = np.asarray(rows[0]["embedding"]) + 0.01 * rng.randn(dim)
+    rows.append({"vec_id": n, "embedding": (v0 / np.linalg.norm(v0)).tolist()})
+    return rows
+
+
+def test_embedding_duplicate_pairs(ray_session):
+    from pii_detection_test_ray.stages.dedup import embedding_duplicate_pairs
+
+    ds = ray.data.from_items(_embedding_rows(), override_num_blocks=2)
+    pairs = embedding_duplicate_pairs(
+        ds, dim=16, threshold=0.98, n_planes=8
+    ).take_all()
+    assert any({p["id_a"], p["id_b"]} == {0, 80} for p in pairs)
+
+
+def test_knn_brute_force_matches_numpy(ray_session):
+    from pii_detection_test_ray.stages.similarity import knn_brute_force
+
+    rows = _embedding_rows()
+    ds = ray.data.from_items(rows, override_num_blocks=2)
+    queries = np.asarray([rows[0]["embedding"], rows[5]["embedding"]])
+    out = knn_brute_force(ds, queries, k=5).take_all()
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], -r["score"], r["vec_id"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    # numpy reference
+    mat = np.asarray([r["embedding"] for r in rows])
+    ids = np.asarray([r["vec_id"] for r in rows])
+    for qi, q in enumerate(queries):
+        sims = mat @ q
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:5]
+        assert by_q[qi] == [int(ids[i]) for i in order]
+    assert by_q[0][0] == 0  # self is nearest
+
+
+def test_knn_ivf_recall(ray_session):
+    from pii_detection_test_ray.stages.similarity import knn_brute_force, knn_ivf
+
+    rows = _embedding_rows(n=200)
+    ds = ray.data.from_items(rows, override_num_blocks=2)
+    queries = np.asarray([rows[3]["embedding"]])
+    exact = {r["vec_id"] for r in knn_brute_force(ds, queries, k=10).take_all()}
+    approx = {
+        r["vec_id"]
+        for r in knn_ivf(ds, queries, k=10, n_clusters=8, nprobe=4).take_all()
+    }
+    assert len(exact & approx) >= 5  # ≥50% recall with nprobe=half
+    assert 3 in approx

