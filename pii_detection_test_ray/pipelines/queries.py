@@ -468,8 +468,26 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
-    """Embedding near-dup over the driver's embeddings table (64-dim)."""
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    """Embedding near-dup over the driver's embeddings table (64-dim).
+    Random embeddings have no cosine≥0.95 neighbors, so the operator would
+    trivially return nothing; union deterministic perturbed copies of the
+    first vectors (ids offset by 1,000,000) so the output demonstrates the
+    bucketing + verification actually firing."""
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(emb_path, columns=["vec_id", "embedding"]).slice(0, 5)
+    rng = np.random.RandomState(7)
+    planted = []
+    for row in head.to_pylist():
+        v = np.asarray(row["embedding"], dtype=np.float32)
+        noisy = v + 0.01 * rng.randn(len(v)).astype(np.float32)
+        planted.append(
+            {"vec_id": row["vec_id"] + 1_000_000, "embedding": noisy.tolist()}
+        )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).union(
+        ray.data.from_items(planted, override_num_blocks=1)
+    )
     return embedding_duplicate_pairs(ds, dim=64, threshold=0.95, n_planes=10)
 
 

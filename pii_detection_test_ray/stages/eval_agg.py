@@ -141,7 +141,18 @@ def _finalize_prf(batch: pa.Table) -> pa.Table:
 def rollup_by_pii_category(rows: ray.data.Dataset) -> ray.data.Dataset:
     """A3: per-PII-category summed tp/fp/fn + P/R/F1."""
     agg = rows.groupby("pii_category").aggregate(Sum("tp"), Sum("fp"), Sum("fn"))
-    return agg.map_batches(_finalize_prf, batch_format="pyarrow")
+
+    def clean_names(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [
+                {"sum(tp)": "tp", "sum(fp)": "fp", "sum(fn)": "fn"}.get(c, c)
+                for c in batch.column_names
+            ]
+        )
+
+    return agg.map_batches(_finalize_prf, batch_format="pyarrow").map_batches(
+        clean_names, batch_format="pyarrow"
+    )
 
 
 def rollup_by_difficulty(rows: ray.data.Dataset) -> ray.data.Dataset:
