@@ -21,6 +21,19 @@ from typing import Any
 SF0001 = "/root/testdata/sf0.001"
 
 
+def _configure_data_context() -> None:
+    """Ray Data context knobs for this engine's outputs: list<string> PII
+    columns must stay plain object columns in pandas (the TensorArray
+    extension cast raises on ragged string lists)."""
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_tensor_extension_casting = False
+
+
+_configure_data_context()
+
+
 def _wrap_testdata_as_pages(sf_dir: str):
     """documents(doc_id, text, ...) → input_hint pages (url, warc_ts, html)."""
     import pyarrow as pa
