@@ -110,7 +110,73 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def run_latency() -> dict:
+    """Per-document latency statistics, mirroring the reference latency
+    harness semantics (reference: run_pii_evaluation.py:777-945): seeded
+    shuffle (seed=42), greedy concatenation to ≥1000-char inputs, 3 warmup +
+    10 measured runs, linear-interpolation percentiles (reference percentile
+    fn :877-881). Measures the full single-document path (extract → langid →
+    perplexity → quality → detect+scrub)."""
+    import random
+    import statistics
+
+    import pyarrow.parquet as pq
+
+    from pii_detection_test_ray.pipelines.oracle import process_document
+    from pii_detection_test_ray.pipelines.queries import synthetic_corpus_dir
+    from pii_detection_test_ray.sources.corpus import render_html
+
+    corpus = synthetic_corpus_dir()
+    texts = [
+        r["text"]
+        for r in pq.read_table(f"{corpus}/documents", columns=["text"]).to_pylist()
+    ]
+    rng = random.Random(42)
+    rng.shuffle(texts)
+    inputs: list[str] = []
+    buf = ""
+    for t in texts:
+        buf = t if not buf else buf + "\n\n" + t
+        if len(buf) >= 1000:
+            inputs.append(buf)
+            buf = ""
+        if len(inputs) >= 13:
+            break
+    pages = [render_html(t, i, f"latency {i}") for i, t in enumerate(inputs)]
+
+    def percentile(values: list[float], p: float) -> float:
+        s = sorted(values)
+        k = (len(s) - 1) * p / 100
+        lo, hi = int(k), min(int(k) + 1, len(s) - 1)
+        return s[lo] + (s[hi] - s[lo]) * (k - lo)
+
+    for page in pages[:3]:  # warmup
+        process_document(page)
+    laps: list[float] = []
+    for i in range(10):
+        page = pages[3 + (i % (len(pages) - 3))]
+        t0 = time.perf_counter()
+        process_document(page)
+        laps.append(time.perf_counter() - t0)
+    return {
+        "mode": "latency",
+        "n_measured": len(laps),
+        "mean_sec": round(statistics.mean(laps), 6),
+        "median_sec": round(statistics.median(laps), 6),
+        "stdev_sec": round(statistics.stdev(laps), 6),
+        "min_sec": round(min(laps), 6),
+        "max_sec": round(max(laps), 6),
+        "p90_sec": round(percentile(laps, 90), 6),
+        "p95_sec": round(percentile(laps, 95), 6),
+        "p99_sec": round(percentile(laps, 99), 6),
+    }
+
+
 def main() -> None:
+    if "--latency" in sys.argv:
+        print(json.dumps(run_latency()))
+        return
+
     if "--flagship-only" in sys.argv:
         # Child mode for --scaling: fresh Ray session at the given CPU count.
         num_cpus = int(sys.argv[sys.argv.index("--cpus") + 1])

@@ -442,6 +442,47 @@ def q_langid_accuracy(sf_dir: str) -> ray.data.Dataset:
     return _rename(agg, {"count()": "n_docs", "sum(correct)": "n_correct"})
 
 
+def q_merge_policy_compare(sf_dir: str) -> ray.data.Dataset:
+    """F5: all hybrid merge policies scored against golden labels in one
+    distributed pass (model path = classifier-confirmed names)."""
+    from .hybrid import policy_comparison
+    from .quality_filter import build_pipeline
+
+    corpus = synthetic_corpus_dir()
+    ds = build_pipeline(f"{corpus}/documents")
+    return policy_comparison(ds, f"{corpus}/labels.parquet")
+
+
+def q_difficulty_rollup(sf_dir: str) -> ray.data.Dataset:
+    """A4: per-difficulty accuracy/P/R/F1 rollup on the synthetic corpus."""
+    from .quality_filter import build_pipeline
+    from ..stages.eval_agg import metric_rows, rollup_by_difficulty
+
+    corpus = synthetic_corpus_dir()
+    rows = metric_rows(build_pipeline(f"{corpus}/documents"), f"{corpus}/labels.parquet")
+    return rollup_by_difficulty(rows)
+
+
+def q_confusion_matrix(sf_dir: str) -> ray.data.Dataset:
+    """A6: binary-presence confusion matrix per PII category."""
+    from .quality_filter import build_pipeline
+    from ..stages.eval_agg import confusion_by_pii_category, metric_rows
+
+    corpus = synthetic_corpus_dir()
+    rows = metric_rows(build_pipeline(f"{corpus}/documents"), f"{corpus}/labels.parquet")
+    return confusion_by_pii_category(rows)
+
+
+def q_worst_failures(sf_dir: str) -> ray.data.Dataset:
+    """O2: bottom-10 documents by micro-F1."""
+    from .quality_filter import build_pipeline
+    from ..stages.eval_agg import metric_rows, worst_failures
+
+    corpus = synthetic_corpus_dir()
+    rows = metric_rows(build_pipeline(f"{corpus}/documents"), f"{corpus}/labels.parquet")
+    return worst_failures(rows, k=10)
+
+
 def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
     from .quality_filter import read_pages
     from ..stages.extract import drop_html, extract_batch
@@ -531,6 +572,10 @@ QUERIES = {
     # rows-only
     "pii_scrub_corpus": q_pii_scrub_corpus,
     "pii_eval_rollup": q_pii_eval_rollup,
+    "difficulty_rollup": q_difficulty_rollup,
+    "confusion_matrix": q_confusion_matrix,
+    "worst_failures": q_worst_failures,
+    "merge_policy_compare": q_merge_policy_compare,
     "langid_accuracy": q_langid_accuracy,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,

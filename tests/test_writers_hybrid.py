@@ -1,0 +1,64 @@
+"""Result writers (S3/S4) and hybrid merge-policy evaluation (F5)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def rows_and_corpus(ray_session, small_corpus):
+    from pii_detection_test_ray.pipelines.quality_filter import build_pipeline
+    from pii_detection_test_ray.stages.eval_agg import metric_rows
+
+    ds = build_pipeline(f"{small_corpus}/documents").materialize()
+    rows = metric_rows(ds, f"{small_corpus}/labels.parquet").materialize()
+    return ds, rows
+
+
+def test_write_results_summary(rows_and_corpus, tmp_path):
+    from pii_detection_test_ray.pipelines.writers import write_results
+
+    _, rows = rows_and_corpus
+    out = str(tmp_path / "results_out")
+    summary = write_results(rows, out, config={"corpus": "smoke"})
+    assert os.path.isdir(f"{out}/results")
+    on_disk = json.load(open(f"{out}/summary.json"))
+    assert on_disk["summary"]["micro_f1"] == summary["summary"]["micro_f1"]
+    assert summary["summary"]["micro_precision"] >= 0.99
+
+
+def test_difficulty_split(rows_and_corpus, tmp_path):
+    from pii_detection_test_ray.pipelines.writers import write_difficulty_split
+
+    _, rows = rows_and_corpus
+    out = str(tmp_path / "split_out")
+    summaries = write_difficulty_split(rows, out)
+    assert set(summaries) == {"base", "advanced"}
+    # partition dirs exist
+    bands = sorted(os.listdir(f"{out}/by_difficulty"))
+    assert any("base" in b for b in bands) and any("advanced" in b for b in bands)
+    # EASY-only band must outperform the advanced band (obfuscation docs).
+    assert summaries["base"]["accuracy"] >= summaries["advanced"]["accuracy"]
+
+
+def test_merge_policy_comparison(rows_and_corpus, small_corpus):
+    from pii_detection_test_ray.pipelines.hybrid import policy_comparison
+
+    ds, _ = rows_and_corpus
+    rows = policy_comparison(ds, f"{small_corpus}/labels.parquet").take_all()
+    by_policy = {r["policy"]: r for r in rows}
+    assert set(by_policy) == {
+        "union", "primary_only", "backfill", "smart_account", "cross_validated"
+    }
+    # The union with raw regex restores anything the classifier filtered →
+    # union recall ≥ primary_only recall; all policies keep high precision
+    # on this corpus.
+    assert by_policy["union"]["recall"] >= by_policy["primary_only"]["recall"]
+    for r in rows:
+        assert r["precision"] >= 0.95
+        assert r["n_docs"] > 0
