@@ -67,13 +67,17 @@ def _rename(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
 
 
 def q_lang_profile(sf_dir: str) -> ray.data.Dataset:
-    """A3/A4-style grouped rollup: per-language doc counts + char totals."""
+    """A3/A4-style grouped rollup: per-language doc counts + char totals.
+    Pre-aggregated per batch (combiner) so the shuffle moves per-batch
+    partials, not rows — the at-scale groupby pattern (stages/shuffle.py)."""
+    from ..stages.shuffle import partial_groupby_sum
+
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    agg = ds.groupby("lang").aggregate(Count(), Sum("n_chars"))
+    agg = partial_groupby_sum(ds, ["lang"], ["n_chars"], count_as="n_docs")
 
     def finalize(batch: pa.Table) -> pa.Table:
-        n = batch.column("count()").to_pylist()
-        total = batch.column("sum(n_chars)").to_pylist()
+        n = batch.column("n_docs").to_pylist()
+        total = batch.column("n_chars").to_pylist()
         avg = [t / c for t, c in zip(total, n)]  # exact int division → stable
         return pa.table(
             {
@@ -110,18 +114,20 @@ def q_quality_stats(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    agg = (
-        ds.map_batches(features, batch_format="pyarrow")
-        .groupby("source")
-        .aggregate(Count(), Sum("n_words"), Sum("n_distinct_words"), Sum("kept"))
+    from ..stages.shuffle import partial_groupby_sum
+
+    agg = partial_groupby_sum(
+        ds.map_batches(features, batch_format="pyarrow"),
+        ["source"],
+        ["n_words", "n_distinct_words", "kept"],
+        count_as="n_docs",
     )
     return _rename(
         agg,
         {
-            "count()": "n_docs",
-            "sum(n_words)": "total_words",
-            "sum(n_distinct_words)": "total_distinct_words",
-            "sum(kept)": "n_kept",
+            "n_words": "total_words",
+            "n_distinct_words": "total_distinct_words",
+            "kept": "n_kept",
         },
     )
 
@@ -382,13 +388,37 @@ def synthetic_corpus_dir(n_docs: int = 400, giant_every: int = 0) -> str:
     return _SYNTH_CACHE[key]
 
 
+_PIPELINE_CACHE: dict[str, ray.data.Dataset] = {}
+_METRIC_ROWS_CACHE: dict[str, ray.data.Dataset] = {}
+
+
+def _pipeline_output(corpus: str) -> ray.data.Dataset:
+    """Materialized flagship-pipeline output for a corpus dir, computed once
+    per process — several eval queries consume the same output."""
+    if corpus not in _PIPELINE_CACHE:
+        from .quality_filter import build_pipeline
+
+        _PIPELINE_CACHE[corpus] = build_pipeline(f"{corpus}/documents").materialize()
+    return _PIPELINE_CACHE[corpus]
+
+
+def _metric_rows(corpus: str) -> ray.data.Dataset:
+    if corpus not in _METRIC_ROWS_CACHE:
+        from ..stages.eval_agg import metric_rows
+
+        _METRIC_ROWS_CACHE[corpus] = metric_rows(
+            _pipeline_output(corpus), f"{corpus}/labels.parquet"
+        ).materialize()
+    return _METRIC_ROWS_CACHE[corpus]
+
+
 def q_pii_scrub_corpus(sf_dir: str) -> ray.data.Dataset:
     """The flagship pipeline over the synthetic input_hint corpus: kept,
     scrubbed documents."""
-    from .quality_filter import build_pipeline, kept_corpus
+    from .quality_filter import kept_corpus
 
     corpus = synthetic_corpus_dir()
-    ds = build_pipeline(f"{corpus}/documents")
+    ds = _pipeline_output(corpus)
     return kept_corpus(ds).select_columns(
         ["url", "pred_lang", "lang_confidence", "log_perplexity",
          "n_pii_spans", "scrubbed_text"]
@@ -397,21 +427,15 @@ def q_pii_scrub_corpus(sf_dir: str) -> ray.data.Dataset:
 
 def q_pii_eval_rollup(sf_dir: str) -> ray.data.Dataset:
     """A3 rollup: pipeline detections vs golden labels per PII category."""
-    from .quality_filter import build_pipeline
-    from ..stages.eval_agg import metric_rows, rollup_by_pii_category
+    from ..stages.eval_agg import rollup_by_pii_category
 
-    corpus = synthetic_corpus_dir()
-    ds = build_pipeline(f"{corpus}/documents")
-    rows = metric_rows(ds, f"{corpus}/labels.parquet")
-    return rollup_by_pii_category(rows)
+    return rollup_by_pii_category(_metric_rows(synthetic_corpus_dir()))
 
 
 def q_langid_accuracy(sf_dir: str) -> ray.data.Dataset:
     """LangID stage accuracy vs golden lang on the synthetic corpus."""
-    from .quality_filter import build_pipeline
-
     corpus = synthetic_corpus_dir()
-    ds = build_pipeline(f"{corpus}/documents")
+    ds = _pipeline_output(corpus)
 
     def score(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -446,41 +470,30 @@ def q_merge_policy_compare(sf_dir: str) -> ray.data.Dataset:
     """F5: all hybrid merge policies scored against golden labels in one
     distributed pass (model path = classifier-confirmed names)."""
     from .hybrid import policy_comparison
-    from .quality_filter import build_pipeline
 
     corpus = synthetic_corpus_dir()
-    ds = build_pipeline(f"{corpus}/documents")
-    return policy_comparison(ds, f"{corpus}/labels.parquet")
+    return policy_comparison(_pipeline_output(corpus), f"{corpus}/labels.parquet")
 
 
 def q_difficulty_rollup(sf_dir: str) -> ray.data.Dataset:
     """A4: per-difficulty accuracy/P/R/F1 rollup on the synthetic corpus."""
-    from .quality_filter import build_pipeline
-    from ..stages.eval_agg import metric_rows, rollup_by_difficulty
+    from ..stages.eval_agg import rollup_by_difficulty
 
-    corpus = synthetic_corpus_dir()
-    rows = metric_rows(build_pipeline(f"{corpus}/documents"), f"{corpus}/labels.parquet")
-    return rollup_by_difficulty(rows)
+    return rollup_by_difficulty(_metric_rows(synthetic_corpus_dir()))
 
 
 def q_confusion_matrix(sf_dir: str) -> ray.data.Dataset:
     """A6: binary-presence confusion matrix per PII category."""
-    from .quality_filter import build_pipeline
-    from ..stages.eval_agg import confusion_by_pii_category, metric_rows
+    from ..stages.eval_agg import confusion_by_pii_category
 
-    corpus = synthetic_corpus_dir()
-    rows = metric_rows(build_pipeline(f"{corpus}/documents"), f"{corpus}/labels.parquet")
-    return confusion_by_pii_category(rows)
+    return confusion_by_pii_category(_metric_rows(synthetic_corpus_dir()))
 
 
 def q_worst_failures(sf_dir: str) -> ray.data.Dataset:
     """O2: bottom-10 documents by micro-F1."""
-    from .quality_filter import build_pipeline
-    from ..stages.eval_agg import metric_rows, worst_failures
+    from ..stages.eval_agg import worst_failures
 
-    corpus = synthetic_corpus_dir()
-    rows = metric_rows(build_pipeline(f"{corpus}/documents"), f"{corpus}/labels.parquet")
-    return worst_failures(rows, k=10)
+    return worst_failures(_metric_rows(synthetic_corpus_dir()), k=10)
 
 
 def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:

@@ -46,26 +46,26 @@ def _add_fingerprint(batch: pa.Table, text_col: str) -> pa.Table:
 
 
 def dedup_exact(
-    ds: ray.data.Dataset, id_col: str = "url", text_col: str = "text"
+    ds: ray.data.Dataset,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_salts: int = 16,
 ) -> ray.data.Dataset:
-    """Exactly one representative (min id) per identical-content group."""
+    """Exactly one representative (min id) per identical-content group.
+
+    Hot-key-safe: a page duplicated millions of times is one giant
+    fingerprint group; the salted two-stage reduction (stages/shuffle.py)
+    bounds every reducer at ~|group|/num_salts rows."""
+    from .shuffle import salted_keep_min
+
     with_fp = ds.map_batches(
         _add_fingerprint,
         batch_format="pyarrow",
         fn_kwargs={"text_col": text_col},
     )
-
-    def keep_min(group: pa.Table) -> pa.Table:
-        idx = pc.index(
-            group.column(id_col), pc.min(group.column(id_col)).as_py()
-        ).as_py()
-        return group.slice(idx, 1)
-
-    return (
-        with_fp.groupby("__fp")
-        .map_groups(keep_min, batch_format="pyarrow")
-        .drop_columns(["__fp"])
-    )
+    return salted_keep_min(
+        with_fp, key_col="__fp", id_col=id_col, num_salts=num_salts
+    ).drop_columns(["__fp"])
 
 
 # ---------------------------------------------------------------------------
@@ -110,17 +110,43 @@ class _BandEmitter:
         return pa.table(cols)
 
 
+_MAX_BUCKET_REPS = 256
+
+
 def _pairs_from_group(
     group: pa.Table, id_col: str, threshold: float
 ) -> pa.Table:
+    """Pairs within one LSH bucket, skew-capped.
+
+    A bucket of N identical pages would cost O(N^2) pairwise checks; instead
+    rows are first clustered by exact signature (linear): within a cluster,
+    every member pairs with the cluster min (est 1.0) — enough for
+    keep-min dedup semantics — and the O(reps^2) pairwise verification runs
+    only across distinct-signature representatives, capped at
+    _MAX_BUCKET_REPS (beyond that a bucket is pathological input)."""
     id_type = group.schema.field(id_col).type
     ids = group.column(id_col).to_pylist()
     sigs = [np.asarray(s, dtype=np.uint64) for s in group.column("sig").to_pylist()]
-    order = np.argsort(np.asarray(ids, dtype=object))
+    clusters: dict[bytes, list[int]] = {}
+    for i, sig in enumerate(sigs):
+        clusters.setdefault(sig.tobytes(), []).append(i)
     a_out, b_out, est_out = [], [], []
-    for i_pos in range(len(order)):
-        for j_pos in range(i_pos + 1, len(order)):
-            i, j = order[i_pos], order[j_pos]
+    reps: list[int] = []
+    for members in clusters.values():
+        members.sort(key=lambda i: ids[i])
+        head = members[0]
+        reps.append(head)
+        for other in members[1:]:
+            if ids[other] == ids[head]:
+                continue
+            a_out.append(ids[head])
+            b_out.append(ids[other])
+            est_out.append(1.0)
+    reps.sort(key=lambda i: ids[i])
+    reps = reps[:_MAX_BUCKET_REPS]
+    for x in range(len(reps)):
+        for y in range(x + 1, len(reps)):
+            i, j = reps[x], reps[y]
             if ids[i] == ids[j]:
                 continue
             est = float(np.mean(sigs[i] == sigs[j]))
@@ -235,11 +261,29 @@ def simhash_duplicate_pairs(
         )
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        # Skew cap: cluster identical simhashes linearly (distance 0 pairs
+        # against the cluster min), pairwise only across distinct-hash
+        # representatives (bounded).
         id_type = group.schema.field(id_col).type
         ids = group.column(id_col).to_pylist()
         hashes = group.column("simhash").to_pylist()
-        rows = sorted(zip(ids, hashes))
+        clusters: dict[int, list[int]] = {}
+        for i, h in enumerate(hashes):
+            clusters.setdefault(h, []).append(i)
         a_out, b_out, d_out = [], [], []
+        reps: list[int] = []
+        for members in clusters.values():
+            members.sort(key=lambda i: ids[i])
+            head = members[0]
+            reps.append(head)
+            for other in members[1:]:
+                if ids[other] != ids[head]:
+                    a_out.append(ids[head])
+                    b_out.append(ids[other])
+                    d_out.append(0)
+        reps.sort(key=lambda i: ids[i])
+        reps = reps[:_MAX_BUCKET_REPS]
+        rows = [(ids[i], hashes[i]) for i in reps]
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
                 if rows[i][0] == rows[j][0]:
@@ -300,22 +344,38 @@ def ngram_jaccard_pairs(
     )
 
     def verify(group: pa.Table) -> pa.Table:
+        # Skew cap: identical texts cluster linearly (jaccard 1.0 against
+        # the min id); exact n-gram verification runs only across distinct
+        # texts, capped.
         id_type = group.schema.field(id_col).type
         ids = group.column(id_col).to_pylist()
         texts = group.column(text_col).to_pylist()
-        rows = sorted(zip(ids, texts))
+        clusters: dict[str, list[int]] = {}
+        for i, t in enumerate(texts):
+            clusters.setdefault(t, []).append(i)
         a_out, b_out, j_out = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if rows[i][0] == rows[j][0]:
+        reps: list[int] = []
+        for members in clusters.values():
+            members.sort(key=lambda i: ids[i])
+            head = members[0]
+            reps.append(head)
+            for other in members[1:]:
+                if ids[other] != ids[head]:
+                    a_out.append(ids[head])
+                    b_out.append(ids[other])
+                    j_out.append(1.0)
+        reps.sort(key=lambda i: ids[i])
+        reps = reps[:_MAX_BUCKET_REPS]
+        shingle_sets = {i: set(word_ngrams(texts[i], ngram)) for i in reps}
+        for x in range(len(reps)):
+            for y in range(x + 1, len(reps)):
+                i, j = reps[x], reps[y]
+                if ids[i] == ids[j]:
                     continue
-                jac = jaccard(
-                    set(word_ngrams(rows[i][1], ngram)),
-                    set(word_ngrams(rows[j][1], ngram)),
-                )
+                jac = jaccard(shingle_sets[i], shingle_sets[j])
                 if jac >= threshold:
-                    a_out.append(rows[i][0])
-                    b_out.append(rows[j][0])
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
                     j_out.append(round(jac, 6))
         return pa.table(
             {
