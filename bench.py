@@ -68,6 +68,7 @@ def run_flagship(num_cpus: int) -> dict:
         ppl_actors=(pool, pool),
         classifier_actors=(max(1, pool // 2), max(1, pool // 2)),
         actor_num_cpus=1.0,
+        fuse_model_stages=True,
     )
     # Untimed warmup: spin up the Ray worker pool + page cache so the timed
     # run measures compute + pipeline, not process fork + first imports.

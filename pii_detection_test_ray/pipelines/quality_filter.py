@@ -48,6 +48,9 @@ class PipelineOptions:
     # reserve every core and starve the read tasks (observed deadlock at
     # num_cpus=4). 0.5 lets pools and tasks share.
     actor_num_cpus: float = 0.5
+    # Fuse langid+perplexity into one actor pool (same semantics, one less
+    # object-store boundary); bench turns this on.
+    fuse_model_stages: bool = False
     with_classifier: bool = True
     keep_html: bool = False
     quality: QualityConfig = QualityConfig()
@@ -73,20 +76,31 @@ def build_pipeline(
         ds = ds.map_batches(
             drop_html, batch_format="pyarrow", batch_size=opts.batch_size
         )
-    ds = ds.map_batches(
-        LangIdBatcher,
-        batch_format="pyarrow",
-        batch_size=opts.batch_size,
-        concurrency=opts.langid_actors,
-        num_cpus=opts.actor_num_cpus,
-    )
-    ds = ds.map_batches(
-        PerplexityBatcher,
-        batch_format="pyarrow",
-        batch_size=opts.batch_size,
-        concurrency=opts.ppl_actors,
-        num_cpus=opts.actor_num_cpus,
-    )
+    if opts.fuse_model_stages:
+        from ..stages.langid import CombinedModelBatcher
+
+        ds = ds.map_batches(
+            CombinedModelBatcher,
+            batch_format="pyarrow",
+            batch_size=opts.batch_size,
+            concurrency=opts.langid_actors,
+            num_cpus=opts.actor_num_cpus,
+        )
+    else:
+        ds = ds.map_batches(
+            LangIdBatcher,
+            batch_format="pyarrow",
+            batch_size=opts.batch_size,
+            concurrency=opts.langid_actors,
+            num_cpus=opts.actor_num_cpus,
+        )
+        ds = ds.map_batches(
+            PerplexityBatcher,
+            batch_format="pyarrow",
+            batch_size=opts.batch_size,
+            concurrency=opts.ppl_actors,
+            num_cpus=opts.actor_num_cpus,
+        )
     ds = ds.map_batches(
         quality_features_batch, batch_format="pyarrow", batch_size=opts.batch_size
     )

@@ -340,6 +340,30 @@ def q_events_rollup(sf_dir: str) -> ray.data.Dataset:
     return prepped.groupby("event_type").map_groups(per_group, batch_format="pyarrow")
 
 
+def q_events_windowed(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour window aggregate per event type (stream-shaped)."""
+    from ..stages.windows import tumbling_window_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return tumbling_window_agg(ds, "event_type", "ts", "value", window="hour")
+
+
+def q_sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based sessionization (30-min gap) per user over the event log."""
+    from ..stages.windows import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return sessionize(ds, "user_id", "ts", gap_minutes=30)
+
+
+def q_top_docs_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """Top-3 longest documents per language (per-group top-k, O4 shape)."""
+    from ..stages.windows import top_k_per_group
+
+    ds = _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+    return top_k_per_group(ds, "lang", "n_chars", "doc_id", k=3)
+
+
 def q_knn_cosine(sf_dir: str) -> ray.data.Dataset:
     """Brute-force cosine top-k over the embeddings table; the query vector
     is vec_id 0's embedding. Scores in exact float64 (both engines upcast
@@ -581,6 +605,9 @@ QUERIES = {
     "orders_by_segment": q_orders_by_segment,
     "customers_per_region": q_customers_per_region,
     "events_rollup": q_events_rollup,
+    "events_windowed": q_events_windowed,
+    "sessionize": q_sessionize,
+    "top_docs_per_lang": q_top_docs_per_lang,
     "knn_cosine": q_knn_cosine,
     # rows-only
     "pii_scrub_corpus": q_pii_scrub_corpus,

@@ -93,6 +93,39 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "events_windowed": """
+        SELECT event_type,
+               date_trunc('hour', ts) AS window_start,
+               count(*) AS n_events,
+               sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS total_value_micros
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    """,
+    "sessionize": """
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events
+        )
+        SELECT user_id,
+               sum(CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END) AS n_sessions,
+               count(*) AS n_events
+        FROM ordered
+        GROUP BY user_id
+    """,
+    "top_docs_per_lang": """
+        SELECT lang, doc_id, n_chars, rank
+        FROM (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ) AS rank
+            FROM documents
+        )
+        WHERE rank <= 3
+    """,
     "knn_cosine": """
         SELECT e.vec_id,
                round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score

@@ -30,3 +30,34 @@ class LangIdBatcher:
         return batch.append_column(
             "pred_lang", pa.array(langs, pa.string())
         ).append_column("lang_confidence", pa.array(confs, pa.float64()))
+
+
+class CombinedModelBatcher:
+    """LangID + perplexity in ONE actor pool.
+
+    Semantically identical to chaining LangIdBatcher → PerplexityBatcher;
+    physically it halves the actor-pool boundaries (each boundary is an
+    object-store hop the streaming executor can't fuse across). The bench
+    path uses this; the default pipeline keeps the two stages separate for
+    per-stage sizing on real clusters."""
+
+    def __init__(self) -> None:
+        from ..functions.langmodels import build_default_ppl_model
+
+        self.langid = CharNgramLangID()
+        self.ppl = build_default_ppl_model()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs: list[str] = []
+        confs: list[float] = []
+        ppls: list[float] = []
+        for text in batch.column("text").to_pylist():
+            lang, conf = self.langid.classify(text)
+            langs.append(lang)
+            confs.append(round(conf, 6))
+            ppls.append(round(self.ppl.log_perplexity(text), 6))
+        return (
+            batch.append_column("pred_lang", pa.array(langs, pa.string()))
+            .append_column("lang_confidence", pa.array(confs, pa.float64()))
+            .append_column("log_perplexity", pa.array(ppls, pa.float64()))
+        )
