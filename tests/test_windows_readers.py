@@ -127,3 +127,42 @@ def test_reference_corpus_regex_baseline_metrics():
     assert round(recall * 100, 1) == 42.7
     assert round(f1 * 100, 1) == 51.3
     assert perfect == 137
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_JSON), reason="reference corpus not available"
+)
+def test_distributed_pipeline_reproduces_reference_detector(ray_session):
+    """End-to-end on the reference's own corpus: JSON import → HTML wrap →
+    distributed pipeline (extract → models → gate → detect/scrub) must
+    produce, per document, the exact value lists the reference detector
+    produces on the extracted page text."""
+    import importlib.util
+    import json
+
+    from pii_detection_test_ray.functions.pii_regex import (
+        CATEGORY_SLUGS,
+        PII_CATEGORIES,
+    )
+    from pii_detection_test_ray.pipelines.quality_filter import build_pipeline
+    from pii_detection_test_ray.sources.readers import read_reference_cases
+
+    spec = importlib.util.spec_from_file_location(
+        "refdet", "/root/reference/regex_pii_detector.py"
+    )
+    refdet = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(refdet)
+
+    pages, labels = read_reference_cases(REFERENCE_JSON)
+    out = build_pipeline(pages.map_batches(lambda t: t.drop_columns(["text", "lang"]), batch_format="pyarrow")).take_all()
+    by_url = {r["url"]: r for r in out}
+    assert len(by_url) == 300
+    mismatches = []
+    for row in out:
+        expected = refdet.detect_pii_regex(row["text"])
+        for cat in PII_CATEGORIES:
+            got = row[f"pii_{CATEGORY_SLUGS[cat]}"]
+            got = list(got) if got is not None else None
+            if got != expected[cat]:
+                mismatches.append((row["url"], cat))
+    assert mismatches == []
