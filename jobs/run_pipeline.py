@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Cluster job entrypoint for the flagship quality-filter + PII-scrub
+pipeline, submitted as::
+
+    ray job submit --working-dir . -- python jobs/run_pipeline.py \
+        --input /data/pages --output /data/filtered \
+        --group-size 16 --batch-size 512
+
+On a cluster ``ray.init()`` (no address) attaches to the running cluster the
+job was submitted to; standalone it starts a local one. The run is resumable:
+per-shard-group lineage manifests under ``<output>/_lineage`` are skipped on
+restart (state/lineage.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--input", required=True, help="directory of input page Parquet shards")
+    parser.add_argument("--output", required=True, help="output directory (partitioned, resumable)")
+    parser.add_argument("--group-size", type=int, default=16, help="input shards per lineage unit")
+    parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--actors-per-model-stage", type=int, default=8)
+    parser.add_argument("--kept-only", action="store_true", help="write only keep=True rows")
+    args = parser.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(logging_level="ERROR")
+
+    from pii_detection_test_ray.pipelines.quality_filter import (
+        PipelineOptions,
+        build_pipeline,
+        kept_corpus,
+    )
+    from pii_detection_test_ray.state.lineage import resumable_run
+
+    opts = PipelineOptions(
+        batch_size=args.batch_size,
+        langid_actors=(args.actors_per_model_stage, args.actors_per_model_stage),
+        ppl_actors=(args.actors_per_model_stage, args.actors_per_model_stage),
+        classifier_actors=(
+            max(1, args.actors_per_model_stage // 2),
+            max(1, args.actors_per_model_stage // 2),
+        ),
+        actor_num_cpus=1.0,
+        fuse_model_stages=True,
+    )
+
+    def pipeline(files: list[str]):
+        ds = build_pipeline(files, opts)
+        return kept_corpus(ds) if args.kept_only else ds
+
+    shards = sorted(
+        os.path.join(args.input, f)
+        for f in os.listdir(args.input)
+        if f.endswith(".parquet")
+    )
+    results = resumable_run(shards, args.output, pipeline, group_size=args.group_size)
+    summary = {
+        "groups": len(results),
+        "skipped": sum(1 for r in results if r.skipped),
+        "rows_in": sum(r.rows_in for r in results),
+        "rows_out": sum(r.rows_out for r in results),
+        "wall_sec": round(sum(r.wall_sec for r in results), 3),
+    }
+    print(json.dumps(summary))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,7 @@ REASON_TOO_FEW_WORDS = "too_few_words"
 REASON_SYMBOL_RATIO = "symbol_ratio"
 REASON_WORD_REPETITION = "word_repetition"
 REASON_LINE_REPETITION = "line_repetition"
+REASON_TOXICITY = "toxicity"
 REASON_LANG_CONFIDENCE = "lang_confidence"
 REASON_PERPLEXITY = "perplexity"
 
@@ -41,6 +42,7 @@ class QualityConfig:
     max_symbol_ratio: float = 0.30
     min_distinct_word_ratio: float = 0.20
     max_duplicate_line_ratio: float = 0.60
+    max_toxicity_ratio: float = 0.05
     min_lang_confidence: float = 0.20
     max_log_perplexity: float = 6.5
     languages_kept: frozenset[str] = field(
@@ -88,12 +90,15 @@ def duplicate_line_ratio(text: str) -> float:
 
 def quality_features(text: str) -> dict[str, float]:
     """All stateless quality features for one document."""
+    from .toxicity import toxicity_score
+
     return {
         "q_n_chars": len(text),
         "q_n_words": token_count(text),
         "q_symbol_ratio": symbol_ratio(text),
         "q_distinct_word_ratio": distinct_word_ratio(text),
         "q_duplicate_line_ratio": duplicate_line_ratio(text),
+        "q_toxicity_ratio": toxicity_score(text),
     }
 
 
@@ -112,6 +117,8 @@ def heuristic_reasons(feats: dict[str, float], cfg: QualityConfig) -> list[str]:
         reasons.append(REASON_WORD_REPETITION)
     if feats["q_duplicate_line_ratio"] > cfg.max_duplicate_line_ratio:
         reasons.append(REASON_LINE_REPETITION)
+    if feats["q_toxicity_ratio"] > cfg.max_toxicity_ratio:
+        reasons.append(REASON_TOXICITY)
     return reasons
 
 

@@ -64,8 +64,10 @@ def process_document(
     reasons = heuristic_reasons(feats, cfg) + model_reasons(lang_conf, log_ppl, cfg)
     keep = not reasons
 
+    from ..functions.toxicity import scrub_toxicity
+
     values, spans = detect_pii(text)
-    scrubbed = scrub_text(text, spans)
+    scrubbed, n_toxic = scrub_toxicity(scrub_text(text, spans))
 
     row: dict[str, Any] = {
         "text": text,
@@ -76,6 +78,7 @@ def process_document(
         "drop_reasons": reasons,
         "scrubbed_text": scrubbed,
         "n_pii_spans": len(spans),
+        "n_toxic_spans": n_toxic,
     }
     row.update(feats)
     for cat in PII_CATEGORIES:

@@ -304,6 +304,108 @@ def q_customers_per_region(sf_dir: str) -> ray.data.Dataset:
     return _rename(agg, {"count()": "n_customers", "sum(bal_cents)": "total_bal_cents"})
 
 
+def q_order_priority_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Large ⋈ large: lineitem ⋈ orders via the explicit bucketed hash join
+    (stages/joins.py), rolled up by order priority. Revenue is integer math
+    end-to-end (price_cents × (100 − disc_pct)) so the value hash matches
+    DuckDB bit-for-bit regardless of partition order."""
+    from ..stages.joins import bucketed_hash_join
+    from ..stages.shuffle import partial_groupby_sum
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep_line(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0), 0),
+            pa.int64(),
+        )
+        disc = pc.cast(
+            pc.round(pc.multiply(batch.column("l_discount"), 100.0), 0), pa.int64()
+        )
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "revenue_u": rev}
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("o_orderkey"),
+                "o_orderpriority": batch.column("o_orderpriority"),
+            }
+        )
+
+    joined = bucketed_hash_join(
+        line.map_batches(prep_line, batch_format="pyarrow"),
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        key="l_orderkey",
+        num_buckets=32,
+    )
+    return partial_groupby_sum(
+        joined, ["o_orderpriority"], ["revenue_u"], count_as="n_items"
+    )
+
+
+def q_orders_semi_join(sf_dir: str) -> ray.data.Dataset:
+    """Semi join: orders whose customer has acctbal > 5000 (broadcast key
+    set, zero shuffle), rolled up by order status."""
+    from ..stages.joins import semi_join_filter
+    from ..stages.shuffle import partial_groupby_sum
+
+    rich = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(batch.column("c_acctbal"), 5000.0)
+        return batch.filter(mask).select(["c_custkey"])
+
+    key_rows = rich.map_batches(keys_only, batch_format="pyarrow").take_all()
+    keys = {r["c_custkey"] for r in key_rows}
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
+    kept = semi_join_filter(orders, keys, "o_custkey")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0), 0), pa.int64()
+        )
+        return pa.table(
+            {"o_orderstatus": batch.column("o_orderstatus"), "price_cents": cents}
+        )
+
+    return partial_groupby_sum(
+        kept.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderstatus"],
+        ["price_cents"],
+        count_as="n_orders",
+    )
+
+
+def q_orders_anti_join(sf_dir: str) -> ray.data.Dataset:
+    """Anti join: orders from customers OUTSIDE the BUILDING segment."""
+    from ..stages.joins import anti_join_filter
+
+    seg = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("c_mktsegment"), "BUILDING")
+        return batch.filter(mask).select(["c_custkey"])
+
+    keys = {
+        r["c_custkey"]
+        for r in seg.map_batches(keys_only, batch_format="pyarrow").take_all()
+    }
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    kept = anti_join_filter(orders, keys, "o_custkey")
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    agg = kept.map_batches(count_rows, batch_format="pyarrow").sum("n")
+    return ray.data.from_items([{"n_orders": int(agg)}])
+
+
 def q_events_rollup(sf_dir: str) -> ray.data.Dataset:
     """Event-stream rollup: per event type, count + exact distinct users +
     value total (integer micro-units)."""
@@ -604,6 +706,9 @@ QUERIES = {
     "lineitem_rollup": q_lineitem_rollup,
     "orders_by_segment": q_orders_by_segment,
     "customers_per_region": q_customers_per_region,
+    "order_priority_revenue": q_order_priority_revenue,
+    "orders_semi_join": q_orders_semi_join,
+    "orders_anti_join": q_orders_anti_join,
     "events_rollup": q_events_rollup,
     "events_windowed": q_events_windowed,
     "sessionize": q_sessionize,

@@ -85,6 +85,30 @@ ORACLES: dict[str, str] = {
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name
     """,
+    "order_priority_revenue": """
+        SELECT o.o_orderpriority,
+               sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS revenue_u,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    "orders_semi_join": """
+        SELECT o_orderstatus,
+               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS price_cents,
+               count(*) AS n_orders
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        GROUP BY o_orderstatus
+    """,
+    "orders_anti_join": """
+        SELECT count(*) AS n_orders
+        FROM orders
+        WHERE o_custkey NOT IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+    """,
     "events_rollup": """
         SELECT event_type,
                count(*) AS n_events,

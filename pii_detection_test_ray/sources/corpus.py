@@ -341,6 +341,20 @@ def _foreign_doc(rng: random.Random) -> tuple[str, str]:
     return " ".join(words[start : start + n]), lang
 
 
+_TOXIC_SNIPPETS = [
+    "야 이 바보 멍청이 같은 놈아 꺼져 버려",
+    "닥쳐 이 쓰레기 등신아 또라이 같은 소리 하지 마",
+    "you absolute idiot shut up you moron loser",
+    "stupid stupid idiot trash go to hell scumbag",
+]
+
+
+def _toxic_doc(rng: random.Random) -> str:
+    """Insult-dense rant: the toxicity gate must drop it."""
+    lines = [rng.choice(_TOXIC_SNIPPETS) for _ in range(rng.randint(4, 8))]
+    return "악성 댓글 모음\n\n" + "\n".join(lines)
+
+
 def _garbage_doc(rng: random.Random) -> str:
     pool = "!@#$%^&*()_+=~`|\\{}[]<>ΩλϞ¤¶§"
     return "".join(rng.choice(pool) if rng.random() < 0.8 else " " for _ in range(rng.randint(80, 300)))
@@ -388,6 +402,9 @@ def generate_corpus(cfg: CorpusConfig) -> tuple[pa.Table, pa.Table | None]:
         elif i < n_pii + n_dup + n_foreign:
             doc_text, lang = _foreign_doc(rng)
             expected, category, difficulty = [], "외국어", "EASY"
+        elif rng.random() < 0.3:
+            doc_text = _toxic_doc(rng)
+            expected, category, difficulty, lang = [], "유해", "EASY", "ko"
         else:
             doc_text = _garbage_doc(rng)
             expected, category, difficulty, lang = [], "저품질", "EASY", "und"

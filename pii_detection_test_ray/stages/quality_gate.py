@@ -28,6 +28,7 @@ _FEATURE_COLS = (
     "q_symbol_ratio",
     "q_distinct_word_ratio",
     "q_duplicate_line_ratio",
+    "q_toxicity_ratio",
 )
 
 

@@ -198,3 +198,30 @@ def test_np_seed_isolation():
     import pii_detection_test_ray.functions.hashing  # noqa: F401
 
     assert np.random.rand() == before
+
+
+class TestToxicity:
+    def test_score_and_scrub(self):
+        from pii_detection_test_ray.functions.toxicity import (
+            scrub_toxicity,
+            toxicity_score,
+        )
+
+        rant = "바보 멍청이 야 이 바보 야 idiot"
+        assert toxicity_score(rant) > 0.3
+        clean = "오늘 날씨가 맑고 회의는 오후에 열립니다."
+        assert toxicity_score(clean) == 0.0
+        scrubbed, n = scrub_toxicity(rant)
+        assert "[TOXIC]" in scrubbed and "바보" not in scrubbed and n >= 3
+        assert scrub_toxicity(clean) == (clean, 0)
+
+    def test_gate_reason(self):
+        from pii_detection_test_ray.functions.quality import (
+            QualityConfig,
+            heuristic_reasons,
+            quality_features,
+        )
+
+        rant = ("닥쳐 이 쓰레기 등신아 꺼져 " * 8).strip()
+        reasons = heuristic_reasons(quality_features(rant), QualityConfig())
+        assert "toxicity" in reasons

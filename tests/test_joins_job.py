@@ -1,0 +1,83 @@
+"""Bucketed hash join, semi/anti joins, and the ray-job entrypoint."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+import ray.data
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bucketed_hash_join_matches_pandas(ray_session):
+    import pandas as pd
+
+    from pii_detection_test_ray.stages.joins import bucketed_hash_join
+
+    left_rows = [{"k": i % 7, "lv": i} for i in range(50)]
+    right_rows = [{"k": k, "rv": f"r{k}"} for k in range(5)]  # keys 5,6 unmatched
+    out = bucketed_hash_join(
+        ray.data.from_items(left_rows, override_num_blocks=2),
+        ray.data.from_items(right_rows, override_num_blocks=1),
+        key="k",
+        num_buckets=4,
+    ).take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+    expected = sorted(
+        (l["k"], l["lv"], f"r{l['k']}") for l in left_rows if l["k"] < 5
+    )
+    assert got == expected
+
+
+def test_bucketed_hash_join_rejects_collision(ray_session):
+    from pii_detection_test_ray.stages.joins import bucketed_hash_join
+
+    a = ray.data.from_items([{"k": 1, "x": 1}], override_num_blocks=1)
+    b = ray.data.from_items([{"k": 1, "x": 2}], override_num_blocks=1)
+    with pytest.raises(ValueError):
+        bucketed_hash_join(a, b, key="k")
+
+
+def test_semi_anti_join_partition(ray_session):
+    from pii_detection_test_ray.stages.joins import anti_join_filter, semi_join_filter
+
+    rows = [{"id": i, "key": i % 10} for i in range(100)]
+    ds = ray.data.from_items(rows, override_num_blocks=2)
+    keys = {2, 4, 6}
+    semi = semi_join_filter(ds, keys, "key").take_all()
+    anti = anti_join_filter(ds, keys, "key").take_all()
+    assert len(semi) == 30 and all(r["key"] in keys for r in semi)
+    assert len(anti) == 70 and all(r["key"] not in keys for r in anti)
+    assert len(semi) + len(anti) == len(rows)
+
+
+def test_job_entrypoint_runs_and_resumes(tmp_path):
+    """jobs/run_pipeline.py end-to-end in a fresh process (its own Ray),
+    including the resume path (second run skips everything)."""
+    from pii_detection_test_ray.sources.corpus import CorpusConfig, write_corpus
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(corpus, CorpusConfig(n_docs=80), shards=4)
+    out = str(tmp_path / "out")
+    cmd = [
+        sys.executable, os.path.join(REPO, "jobs", "run_pipeline.py"),
+        "--input", f"{corpus}/documents", "--output", out,
+        "--group-size", "2", "--batch-size", "64",
+        "--actors-per-model-stage", "1",
+    ]
+    env = dict(os.environ, RAY_ADDRESS="local")
+    first = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=420)
+    assert first.returncode == 0, first.stderr[-2000:]
+    s1 = json.loads(first.stdout.strip().splitlines()[-1])
+    assert s1["rows_in"] == 80 and s1["rows_out"] == 80 and s1["skipped"] == 0
+
+    second = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=420)
+    assert second.returncode == 0, second.stderr[-2000:]
+    s2 = json.loads(second.stdout.strip().splitlines()[-1])
+    assert s2["skipped"] == s2["groups"] == s1["groups"]
