@@ -442,6 +442,16 @@ def q_events_rollup(sf_dir: str) -> ray.data.Dataset:
     return prepped.groupby("event_type").map_groups(per_group, batch_format="pyarrow")
 
 
+def q_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """HLL approximate distinct users per event type (mergeable-sketch
+    combiner; rows-only — accuracy asserted against the exact count in
+    tests/test_sketch_registry.py)."""
+    from ..stages.sketch_agg import approx_distinct_per_key
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct_per_key(ds, "event_type", "user_id", p=12)
+
+
 def q_events_windowed(sf_dir: str) -> ray.data.Dataset:
     """Tumbling 1-hour window aggregate per event type (stream-shaped)."""
     from ..stages.windows import tumbling_window_agg
@@ -710,6 +720,7 @@ QUERIES = {
     "orders_semi_join": q_orders_semi_join,
     "orders_anti_join": q_orders_anti_join,
     "events_rollup": q_events_rollup,
+    "approx_distinct_users": q_approx_distinct_users,
     "events_windowed": q_events_windowed,
     "sessionize": q_sessionize,
     "top_docs_per_lang": q_top_docs_per_lang,

@@ -1,0 +1,101 @@
+"""HLL sketch aggregation and the config-driven pipeline registry."""
+
+from __future__ import annotations
+
+import pytest
+import ray.data
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+class TestHLL:
+    def test_estimate_accuracy(self):
+        from pii_detection_test_ray.functions.sketches import HyperLogLog
+
+        hll = HyperLogLog(p=12)
+        hll.add_many(range(10_000))
+        assert abs(hll.estimate() - 10_000) / 10_000 < 0.05
+
+    def test_merge_equals_union(self):
+        from pii_detection_test_ray.functions.sketches import HyperLogLog
+
+        a, b, u = HyperLogLog(), HyperLogLog(), HyperLogLog()
+        a.add_many(range(0, 3000))
+        b.add_many(range(2000, 5000))
+        u.add_many(range(0, 5000))
+        assert a.merge(b).estimate() == u.estimate()
+
+    def test_serialization_roundtrip(self):
+        from pii_detection_test_ray.functions.sketches import HyperLogLog
+
+        a = HyperLogLog()
+        a.add_many(["x", "y", "z"])
+        b = HyperLogLog.from_bytes(a.to_bytes())
+        assert b.estimate() == a.estimate()
+
+    def test_distributed_matches_exact_within_tolerance(self, ray_session):
+        from pii_detection_test_ray.stages.sketch_agg import approx_distinct_per_key
+
+        rows = [
+            {"k": "a" if i % 3 else "b", "v": i % 500} for i in range(5000)
+        ]
+        ds = ray.data.from_items(rows, override_num_blocks=4)
+        out = {r["k"]: r["approx_distinct"] for r in
+               approx_distinct_per_key(ds, "k", "v").take_all()}
+        # exact: 'a' sees ~500 distinct, 'b' sees ~167
+        assert abs(out["a"] - 500) / 500 < 0.05
+        exact_b = len({i % 500 for i in range(5000) if i % 3 == 0})
+        assert abs(out["b"] - exact_b) / exact_b < 0.06
+
+
+class TestRegistry:
+    def test_build_from_config_matches_canonical_pipeline(
+        self, ray_session, small_corpus
+    ):
+        from pii_detection_test_ray.pipelines.quality_filter import (
+            build_pipeline,
+            read_pages,
+        )
+        from pii_detection_test_ray.pipelines.registry import build_from_config
+
+        config = [
+            {"stage": "extract"},
+            {"stage": "drop_html"},
+            {"stage": "models", "concurrency": [1, 2]},
+            {"stage": "quality_features"},
+            {"stage": "gate"},
+            {"stage": "pii_scrub"},
+            {"stage": "name_disambiguator", "concurrency": [1, 2]},
+        ]
+        via_config = build_from_config(read_pages(f"{small_corpus}/documents"), config)
+        canonical = build_pipeline(f"{small_corpus}/documents")
+        a = {r["url"]: r for r in via_config.take_all()}
+        b = {r["url"]: r for r in canonical.take_all()}
+        assert set(a) == set(b)
+        for url in a:
+            assert a[url]["keep"] == b[url]["keep"]
+            assert a[url]["scrubbed_text"] == b[url]["scrubbed_text"]
+
+    def test_unknown_stage_raises(self, ray_session, small_corpus):
+        from pii_detection_test_ray.pipelines.quality_filter import read_pages
+        from pii_detection_test_ray.pipelines.registry import build_from_config
+
+        with pytest.raises(KeyError):
+            build_from_config(
+                read_pages(f"{small_corpus}/documents"), [{"stage": "nope"}]
+            )
+
+    def test_gate_threshold_override(self, ray_session, small_corpus):
+        from pii_detection_test_ray.pipelines.quality_filter import read_pages
+        from pii_detection_test_ray.pipelines.registry import build_from_config
+
+        config = [
+            {"stage": "extract"},
+            {"stage": "models", "concurrency": [1, 2]},
+            {"stage": "quality_features"},
+            {"stage": "gate", "quality": {"min_chars": 10_000}},  # drop all
+        ]
+        out = build_from_config(
+            read_pages(f"{small_corpus}/documents"), config
+        ).take_all()
+        assert out and all(not r["keep"] for r in out)
