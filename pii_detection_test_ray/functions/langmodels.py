@@ -19,8 +19,6 @@ Both are cheap to build (<10 ms) and are instantiated in actor ``__init__``
 
 from __future__ import annotations
 
-import math
-from collections import Counter
 
 # Hand-written seed paragraphs, one per supported language. Composed for this
 # repo; the point is stable per-language character statistics, not content.
@@ -100,13 +98,29 @@ _CJK = (0x4E00, 0x9FFF)
 
 
 def script_ratios(text: str) -> tuple[float, float]:
-    """(hangul_ratio, cjk_ratio) over non-space characters."""
-    chars = [c for c in text if not c.isspace()]
-    if not chars:
+    """(hangul_ratio, cjk_ratio) over non-space characters. Vectorized:
+    the text decodes to a uint32 codepoint array once; range checks are
+    numpy masks (this runs on every document in the langid stage)."""
+    import numpy as _np
+
+    if not text:
         return 0.0, 0.0
-    hangul = sum(1 for c in chars if _HANGUL[0] <= ord(c) <= _HANGUL[1])
-    cjk = sum(1 for c in chars if _CJK[0] <= ord(c) <= _CJK[1])
-    return hangul / len(chars), cjk / len(chars)
+    arr = _np.frombuffer(text.encode("utf-32-le"), dtype=_np.uint32)
+    space = (
+        (arr == 0x20)
+        | ((arr >= 0x09) & (arr <= 0x0D))
+        | (arr == 0xA0)
+        | (arr == 0x3000)
+        | (arr == 0x85)
+        | (arr == 0x2028)
+        | (arr == 0x2029)
+    )
+    nonspace = int((~space).sum())
+    if nonspace == 0:
+        return 0.0, 0.0
+    hangul = int(((arr >= _HANGUL[0]) & (arr <= _HANGUL[1])).sum())
+    cjk = int(((arr >= _CJK[0]) & (arr <= _CJK[1])).sum())
+    return hangul / nonspace, cjk / nonspace
 
 
 _CLASS_CACHE: dict[str, str] = {}
@@ -143,33 +157,68 @@ def _char_class(ch: str) -> str:
     return out
 
 
+class _FoldTable(dict):
+    """ord → class-char mapping for ``str.translate`` (C loop); unseen
+    characters are classified once via ``_char_class`` and cached."""
+
+    def __missing__(self, codepoint: int) -> str:
+        out = _char_class(chr(codepoint))
+        self[codepoint] = out
+        return out
+
+
+_FOLD_TABLE = _FoldTable()
+
+
 def fold_classes(text: str) -> str:
-    return "".join(_char_class(c) for c in text)
+    return text.translate(_FOLD_TABLE)
+
+
+# The closed class alphabet (everything _char_class can emit) + the
+# start/end markers. Scoring indexes dense numpy count tables by these codes.
+_ALPHABET = "\x02\x03abcdefghijklmnopqrstuvwxyz9 HCL.,;:!?'\"()-–—[]/%#"
+_A = len(_ALPHABET)
+_CODE_TABLE = {ord(ch): chr(i) for i, ch in enumerate(_ALPHABET)}
+
+import numpy as _np  # noqa: E402
+
+
+def _codes(folded: str) -> "_np.ndarray":
+    """Class string → uint8 code array (two C-speed passes, no Python loop)."""
+    return _np.frombuffer(
+        folded.translate(_CODE_TABLE).encode("latin-1"), dtype=_np.uint8
+    )
 
 
 class CharTrigramLM:
-    """Add-k smoothed trigram LM over character classes; bits/char scoring."""
+    """Add-k smoothed trigram LM over character classes; bits/char scoring.
+
+    Counts live in dense numpy tables indexed by packed class codes, so
+    scoring a document is two gathers + one log — no per-character Python.
+    """
 
     def __init__(self, corpus: str, k: float = 0.02) -> None:
         self.k = k
-        text = f"\x02\x02{fold_classes(corpus)}\x03"
-        self.tri: Counter[str] = Counter(
-            text[i : i + 3] for i in range(len(text) - 2)
-        )
-        self.bi: Counter[str] = Counter(text[i : i + 2] for i in range(len(text) - 1))
         # Fixed virtual vocabulary (the class alphabet is small and closed),
         # so unseen contexts are penalized identically across models.
         self.vocab = 128
+        codes = _codes(f"\x02\x02{fold_classes(corpus)}\x03").astype(_np.int32)
+        idx3 = (codes[:-2] * _A + codes[1:-1]) * _A + codes[2:]
+        idx2 = codes[:-1] * _A + codes[1:]
+        self.tri = _np.bincount(idx3, minlength=_A * _A * _A).astype(_np.float64)
+        self.bi = _np.bincount(idx2, minlength=_A * _A).astype(_np.float64)
 
     def logprob(self, text: str, prefolded: bool = False) -> float:
         """Total log2 probability of ``text`` under the model."""
-        s = f"\x02\x02{text if prefolded else fold_classes(text)}"
-        total = 0.0
-        for i in range(2, len(s)):
-            num = self.tri.get(s[i - 2 : i + 1], 0) + self.k
-            den = self.bi.get(s[i - 2 : i], 0) + self.k * self.vocab
-            total += math.log2(num / den)
-        return total
+        folded = text if prefolded else fold_classes(text)
+        codes = _codes(f"\x02\x02{folded}").astype(_np.int32)
+        if codes.size < 3:
+            return 0.0
+        ctx = codes[:-2] * _A + codes[1:-1]
+        idx3 = ctx * _A + codes[2:]
+        num = self.tri[idx3] + self.k
+        den = self.bi[ctx] + self.k * self.vocab
+        return float(_np.log2(num / den).sum())
 
     def log_perplexity(self, text: str) -> float:
         """Average negative log2 probability per character (bits/char)."""
