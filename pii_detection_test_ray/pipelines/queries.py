@@ -186,6 +186,24 @@ def q_token_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_doc_signatures(sf_dir: str) -> ray.data.Dataset:
+    """Per-document text-analysis columns: token count, rolling winnowing
+    fingerprint, SimHash (rows-only; the md5 fingerprint variant is the
+    SQL-verified one)."""
+    from ..stages.textstats import SignatureBatcher, textstats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(textstats_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        SignatureBatcher,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=0.5,
+        fn_constructor_kwargs={"num_perm": 64},
+    )
+    return ds.select_columns(["doc_id", "n_tokens", "rolling_fp", "simhash"])
+
+
 def q_top_longest(sf_dir: str) -> ray.data.Dataset:
     """Sort + limit (O1/O2 shape): 20 longest docs."""
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
@@ -711,6 +729,7 @@ QUERIES = {
     "quality_stats": q_quality_stats,
     "dedup_exact": q_dedup_exact,
     "fingerprints": q_fingerprints,
+    "doc_signatures": q_doc_signatures,
     "token_counts": q_token_counts,
     "top_longest": q_top_longest,
     "lineitem_rollup": q_lineitem_rollup,

@@ -1,0 +1,71 @@
+"""Edge cases: empty/degenerate inputs, encoding damage, stale lineage."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+class TestDegenerateDocuments:
+    def test_empty_and_whitespace_text(self):
+        from pii_detection_test_ray.pipelines.oracle import process_document
+
+        for text in ("", "   ", "\n\n\n"):
+            row = process_document(None, text=text)
+            assert row["keep"] is False
+            assert row["n_pii_spans"] == 0
+            assert row["scrubbed_text"] == text
+
+    def test_invalid_utf8_html(self):
+        from pii_detection_test_ray.functions.html_text import extract_text
+
+        # utf-8 decode with errors="replace": must not raise, must be
+        # deterministic.
+        broken = b"<html><body><p>ok \xff\xfe broken</p></body></html>"
+        out1, out2 = extract_text(broken), extract_text(broken)
+        assert out1 == out2 and "ok" in out1
+
+    def test_single_char_and_huge_repeat(self):
+        from pii_detection_test_ray.pipelines.oracle import process_document
+
+        assert process_document(None, text="a")["keep"] is False
+        big = process_document(None, text="spam " * 40_000)
+        assert big["keep"] is False
+        assert "word_repetition" in big["drop_reasons"]
+
+    def test_detector_on_degenerate_inputs(self):
+        from pii_detection_test_ray.functions.pii_regex import detect_and_scrub
+
+        for text in ("", "*", "-" * 100, "\x00\x01"):
+            values, scrubbed, n = detect_and_scrub(text)
+            assert scrubbed == text and n == 0
+            assert all(v is None for v in values.values())
+
+
+class TestLineageStaleness:
+    def test_stale_pipeline_version_reprocesses(self, ray_session, tmp_path):
+        import json
+
+        from pii_detection_test_ray.pipelines.quality_filter import build_pipeline
+        from pii_detection_test_ray.sources.corpus import CorpusConfig, write_corpus
+        from pii_detection_test_ray.state import lineage
+
+        corpus = str(tmp_path / "c")
+        write_corpus(corpus, CorpusConfig(n_docs=40), shards=2)
+        files = sorted(
+            os.path.join(corpus, "documents", f)
+            for f in os.listdir(f"{corpus}/documents")
+        )
+        out = str(tmp_path / "o")
+        lineage.resumable_run(files, out, build_pipeline, group_size=2)
+        # Corrupt the manifest's version → must reprocess, not skip.
+        mdir = os.path.join(out, "_lineage")
+        name = sorted(os.listdir(mdir))[0]
+        entry = json.load(open(os.path.join(mdir, name)))
+        entry["pipeline_version"] = "stale"
+        json.dump(entry, open(os.path.join(mdir, name), "w"))
+        results = lineage.resumable_run(files, out, build_pipeline, group_size=2)
+        assert sum(1 for r in results if not r.skipped) == 1
