@@ -186,24 +186,6 @@ def q_token_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def q_doc_signatures(sf_dir: str) -> ray.data.Dataset:
-    """Per-document text-analysis columns: token count, rolling winnowing
-    fingerprint, SimHash (rows-only; the md5 fingerprint variant is the
-    SQL-verified one)."""
-    from ..stages.textstats import SignatureBatcher, textstats_batch
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    ds = ds.map_batches(textstats_batch, batch_format="pyarrow")
-    ds = ds.map_batches(
-        SignatureBatcher,
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        num_cpus=0.5,
-        fn_constructor_kwargs={"num_perm": 64},
-    )
-    return ds.select_columns(["doc_id", "n_tokens", "rolling_fp", "simhash"])
-
-
 def q_top_longest(sf_dir: str) -> ray.data.Dataset:
     """Sort + limit (O1/O2 shape): 20 longest docs."""
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
@@ -566,6 +548,34 @@ def _metric_rows(corpus: str) -> ray.data.Dataset:
     return _METRIC_ROWS_CACHE[corpus]
 
 
+def q_doc_signatures(sf_dir: str) -> ray.data.Dataset:
+    """Per-document text-analysis columns: token count, rolling winnowing
+    fingerprint, SimHash. Rows-only (the md5 fingerprint variant is the
+    SQL-verified one); stateless — computes exactly the emitted columns."""
+    from ..functions.hashing import rolling_fingerprint, simhash64
+    from ..functions.quality import token_count as _tc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array([_tc(t) for t in texts], pa.int64()),
+                "rolling_fp": pa.array(
+                    [rolling_fingerprint(t) & 0x7FFFFFFFFFFFFFFF for t in texts],
+                    pa.int64(),
+                ),
+                "simhash": pa.array(
+                    [simhash64(t) & 0x7FFFFFFFFFFFFFFF for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(sigs, batch_format="pyarrow")
+
+
 def q_pii_scrub_corpus(sf_dir: str) -> ray.data.Dataset:
     """The flagship pipeline over the synthetic input_hint corpus: kept,
     scrubbed documents."""
@@ -729,7 +739,6 @@ QUERIES = {
     "quality_stats": q_quality_stats,
     "dedup_exact": q_dedup_exact,
     "fingerprints": q_fingerprints,
-    "doc_signatures": q_doc_signatures,
     "token_counts": q_token_counts,
     "top_longest": q_top_longest,
     "lineitem_rollup": q_lineitem_rollup,
@@ -745,6 +754,7 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "knn_cosine": q_knn_cosine,
     # rows-only
+    "doc_signatures": q_doc_signatures,
     "pii_scrub_corpus": q_pii_scrub_corpus,
     "pii_eval_rollup": q_pii_eval_rollup,
     "difficulty_rollup": q_difficulty_rollup,

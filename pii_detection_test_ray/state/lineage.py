@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass
 from typing import Callable
@@ -100,6 +101,11 @@ def resumable_run(
         t0 = time.time()
         ds = pipeline_fn(group)
         part_dir = os.path.join(out_dir, f"part-{key}")
+        # A reprocessed shard (crash mid-write, stale pipeline version) may
+        # leave partial output behind; clear it or the new write APPENDS and
+        # every row duplicates.
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
         ds.write_parquet(part_dir)
         rows_out = sum(
             f.metadata.num_rows

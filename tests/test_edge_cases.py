@@ -69,3 +69,16 @@ class TestLineageStaleness:
         json.dump(entry, open(os.path.join(mdir, name), "w"))
         results = lineage.resumable_run(files, out, build_pipeline, group_size=2)
         assert sum(1 for r in results if not r.skipped) == 1
+        # The reprocessed partition must hold exactly its input rows — a
+        # rerun that appends instead of replacing would double them.
+        import pyarrow.parquet as pq
+
+        total_out = 0
+        for part in os.listdir(out):
+            if part.startswith("part-"):
+                for f in os.listdir(os.path.join(out, part)):
+                    if f.endswith(".parquet"):
+                        total_out += pq.ParquetFile(
+                            os.path.join(out, part, f)
+                        ).metadata.num_rows
+        assert total_out == 40
