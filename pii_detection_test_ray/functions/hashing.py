@@ -162,4 +162,7 @@ def simhash64(text: str) -> int:
 
 
 def hamming64(a: int, b: int) -> int:
-    return bin(a ^ b).count("1")
+    """Hamming distance over the 64-bit patterns; accepts values stored as
+    signed int64 reinterprets (negative) as well as raw unsigned ints."""
+    mask = (1 << 64) - 1
+    return bin((a & mask) ^ (b & mask)).count("1")

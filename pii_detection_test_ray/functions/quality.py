@@ -30,6 +30,7 @@ REASON_SYMBOL_RATIO = "symbol_ratio"
 REASON_WORD_REPETITION = "word_repetition"
 REASON_LINE_REPETITION = "line_repetition"
 REASON_TOXICITY = "toxicity"
+REASON_LANGUAGE = "language"
 REASON_LANG_CONFIDENCE = "lang_confidence"
 REASON_PERPLEXITY = "perplexity"
 
@@ -123,10 +124,15 @@ def heuristic_reasons(feats: dict[str, float], cfg: QualityConfig) -> list[str]:
 
 
 def model_reasons(
-    lang_confidence: float, log_perplexity: float, cfg: QualityConfig
+    lang_confidence: float,
+    log_perplexity: float,
+    cfg: QualityConfig,
+    pred_lang: str | None = None,
 ) -> list[str]:
     """Reason codes from the actor-pool model signals."""
     reasons: list[str] = []
+    if pred_lang is not None and pred_lang not in cfg.languages_kept:
+        reasons.append(REASON_LANGUAGE)
     if lang_confidence < cfg.min_lang_confidence:
         reasons.append(REASON_LANG_CONFIDENCE)
     if log_perplexity > cfg.max_log_perplexity:

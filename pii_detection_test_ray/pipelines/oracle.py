@@ -61,7 +61,9 @@ def process_document(
     log_ppl = m.ppl.log_perplexity(text)
 
     feats = quality_features(text)
-    reasons = heuristic_reasons(feats, cfg) + model_reasons(lang_conf, log_ppl, cfg)
+    reasons = heuristic_reasons(feats, cfg) + model_reasons(
+        lang_conf, log_ppl, cfg, pred_lang=lang
+    )
     keep = not reasons
 
     from ..functions.toxicity import scrub_toxicity

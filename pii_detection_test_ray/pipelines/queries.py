@@ -22,7 +22,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Sum
 
 from ..functions.hashing import text_fingerprint_md5
-from ..functions.quality import distinct_word_ratio, token_count
+from ..functions.quality import token_count
 from ..stages.dedup import (
     dedup_exact,
     embedding_duplicate_pairs,
@@ -97,10 +97,13 @@ def q_quality_stats(sf_dir: str) -> ray.data.Dataset:
     ds = _read(sf_dir, "documents", ["source", "text", "n_chars"])
 
     def features(batch: pa.Table) -> pa.Table:
+        from ..functions.quality import tokenize_ws
+
         texts = batch.column("text").to_pylist()
         n_chars = batch.column("n_chars").to_pylist()
-        words = [token_count(t) for t in texts]
-        distinct = [int(round(distinct_word_ratio(t) * token_count(t))) for t in texts]
+        tok_lists = [tokenize_ws(t) for t in texts]  # tokenize ONCE per doc
+        words = [len(toks) for toks in tok_lists]
+        distinct = [len(set(toks)) for toks in tok_lists]  # exact int count
         keep = [
             int(150 <= c <= 450 and w >= 20 and (d / w if w else 1.0) >= 0.2)
             for c, w, d in zip(n_chars, words, distinct)
@@ -568,7 +571,13 @@ def q_doc_signatures(sf_dir: str) -> ray.data.Dataset:
                     pa.int64(),
                 ),
                 "simhash": pa.array(
-                    [simhash64(t) & 0x7FFFFFFFFFFFFFFF for t in texts], pa.int64()
+                    [
+                        (lambda sh: sh - (1 << 64) if sh >= (1 << 63) else sh)(
+                            simhash64(t)
+                        )
+                        for t in texts
+                    ],
+                    pa.int64(),
                 ),
             }
         )
@@ -598,18 +607,21 @@ def q_pii_eval_rollup(sf_dir: str) -> ray.data.Dataset:
 
 def q_langid_accuracy(sf_dir: str) -> ray.data.Dataset:
     """LangID stage accuracy vs golden lang on the synthetic corpus."""
+    import pyarrow.parquet as pq
+
     corpus = synthetic_corpus_dir()
     ds = _pipeline_output(corpus)
-
-    def score(batch: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        golden = {
+    golden_ref = ray.put(
+        {
             r["url"]: r["lang"]
             for r in pq.read_table(
-                f"{synthetic_corpus_dir()}/documents", columns=["url", "lang"]
+                f"{corpus}/documents", columns=["url", "lang"]
             ).to_pylist()
         }
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        golden = ray.get(golden_ref)
         urls = batch.column("url").to_pylist()
         preds = batch.column("pred_lang").to_pylist()
         langs = [golden[u] for u in urls]

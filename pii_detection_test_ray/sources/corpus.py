@@ -395,8 +395,11 @@ def generate_corpus(cfg: CorpusConfig) -> tuple[pa.Table, pa.Table | None]:
             # source's golden labels.
             src, src_expected = dup_sources[i % len(dup_sources)]
             lines = src.split("\n")
-            j = rng.randrange(len(lines))
-            lines[j] = lines[j] + " (사본)"
+            # Mutate the TITLE line only: a suffix on a PII-bearing line can
+            # be absorbed by a greedy pattern (e.g. the road-address optional
+            # parenthetical eats " (사본)" across the newline), silently
+            # breaking the inherited golden labels.
+            lines[0] = lines[0] + " (사본)"
             doc_text = "\n".join(lines)
             expected, category, difficulty, lang = list(src_expected), "근접중복", "EASY", "ko"
         elif i < n_pii + n_dup + n_foreign:

@@ -40,8 +40,11 @@ from ..functions.hashing import (
 )
 
 
-def _add_fingerprint(batch: pa.Table, text_col: str) -> pa.Table:
-    fps = [text_fingerprint(t) for t in batch.column(text_col).to_pylist()]
+def _add_fingerprint(batch: pa.Table, text_col: str, normalize: bool) -> pa.Table:
+    fps = [
+        text_fingerprint(t, normalize=normalize)
+        for t in batch.column(text_col).to_pylist()
+    ]
     return batch.append_column("__fp", pa.array(fps, pa.string()))
 
 
@@ -50,8 +53,12 @@ def dedup_exact(
     id_col: str = "url",
     text_col: str = "text",
     num_salts: int = 16,
+    normalize: bool = False,
 ) -> ray.data.Dataset:
-    """Exactly one representative (min id) per identical-content group.
+    """Exactly one representative (min id) per identical-content group
+    (``normalize=True`` dedups case/whitespace-insensitively instead —
+    the default is EXACT content so results match a plain SQL
+    ``GROUP BY text``).
 
     Hot-key-safe: a page duplicated millions of times is one giant
     fingerprint group; the salted two-stage reduction (stages/shuffle.py)
@@ -61,7 +68,7 @@ def dedup_exact(
     with_fp = ds.map_batches(
         _add_fingerprint,
         batch_format="pyarrow",
-        fn_kwargs={"text_col": text_col},
+        fn_kwargs={"text_col": text_col, "normalize": normalize},
     )
     return salted_keep_min(
         with_fp, key_col="__fp", id_col=id_col, num_salts=num_salts
@@ -251,7 +258,10 @@ def simhash_duplicate_pairs(
                 chunk = (sh >> (16 * c)) & 0xFFFF
                 out_key.append((c << 16) | chunk)
                 out_id.append(doc_id)
-                out_hash.append(sh & 0x7FFFFFFFFFFFFFFF)
+                # two's-complement reinterpret: all 64 bits survive int64
+                # (masking to 63 bits would hide bit 63 from the hamming
+                # verification)
+                out_hash.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
         return pa.table(
             {
                 "chunk_key": pa.array(out_key, pa.int64()),

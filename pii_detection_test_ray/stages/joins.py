@@ -84,16 +84,19 @@ def bucketed_hash_join(
         pad(right_cols), batch_format="pyarrow"
     )
 
-    def join_bucket(group: pa.Table) -> pa.Table:
-        import pandas as pd
+    out_schema = pa.schema([(c, col_types[c]) for c in all_cols])
 
+    def join_bucket(group: pa.Table) -> pa.Table:
         df = group.to_pandas()
         l_df = df[df["__side"] == "L"][left_cols]
         r_df = df[df["__side"] == "R"][[key] + [c for c in right_cols if c != key]]
         joined = l_df.merge(r_df, on=key, how="inner")
+        # pandas upcasts int64-with-nulls (the union padding) to float64;
+        # cast back to the declared types so the integer-exactness contract
+        # survives the join.
         return pa.Table.from_pandas(
             joined[all_cols], preserve_index=False
-        )
+        ).cast(out_schema)
 
     return (
         lt.union(rt)

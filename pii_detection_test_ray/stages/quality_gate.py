@@ -57,11 +57,12 @@ class GateBatcher:
         feats_lists = {name: batch.column(name).to_pylist() for name in _FEATURE_COLS}
         lang_conf = batch.column("lang_confidence").to_pylist()
         log_ppl = batch.column("log_perplexity").to_pylist()
+        pred_langs = batch.column("pred_lang").to_pylist()
         n = batch.num_rows
         for i in range(n):
             feats = {name: feats_lists[name][i] for name in _FEATURE_COLS}
             reasons = heuristic_reasons(feats, self.cfg) + model_reasons(
-                lang_conf[i], log_ppl[i], self.cfg
+                lang_conf[i], log_ppl[i], self.cfg, pred_lang=pred_langs[i]
             )
             keeps.append(not reasons)
             reasons_col.append(reasons)

@@ -41,6 +41,7 @@ def partial_groupby_sum(
     only per-batch partials."""
 
     def combine(batch: pa.Table) -> pa.Table:
+        key_types = {k: batch.schema.field(k).type for k in key_cols}
         keys = list(zip(*(batch.column(k).to_pylist() for k in key_cols)))
         sums: dict[tuple, list[int]] = defaultdict(lambda: [0] * (len(sum_cols) + 1))
         cols = [batch.column(c).to_pylist() for c in sum_cols]
@@ -57,7 +58,10 @@ def partial_groupby_sum(
         for key in sums:
             for ki, k in enumerate(key_cols):
                 out[k].append(key[ki])
-        arrays = {k: pa.array(out[k]) for k in key_cols}
+        # Explicit key types: an EMPTY batch (e.g. a fully filtered block)
+        # would otherwise emit null-typed key columns and break the block
+        # schema union downstream.
+        arrays = {k: pa.array(out[k], key_types[k]) for k in key_cols}
         for c in sum_cols:
             arrays[c] = pa.array(out[c], pa.int64())
         if count_as:

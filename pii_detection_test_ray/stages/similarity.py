@@ -29,6 +29,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _global_topk_fn(id_col: str, k: int):
+    """Shared final reducer: per query_id, keep the k best (score desc,
+    id asc) candidates from all blocks' local top-k lists."""
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(
+                group.column("score").to_pylist(),
+                group.column(id_col).to_pylist(),
+                group.column("query_id").to_pylist(),
+            ),
+            key=lambda r: (-r[0], r[1]),
+        )[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([r[2] for r in rows], pa.int64()),
+                id_col: pa.array([r[1] for r in rows]),
+                "score": pa.array([r[0] for r in rows], pa.float64()),
+            }
+        )
+
+    return global_topk
+
+
 def knn_brute_force(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -65,27 +89,10 @@ def knn_brute_force(
             }
         )
 
-    def global_topk(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(
-                group.column("score").to_pylist(),
-                group.column(id_col).to_pylist(),
-                group.column("query_id").to_pylist(),
-            ),
-            key=lambda r: (-r[0], r[1]),
-        )[:k]
-        return pa.table(
-            {
-                "query_id": pa.array([r[2] for r in rows], pa.int64()),
-                id_col: pa.array([r[1] for r in rows]),
-                "score": pa.array([r[0] for r in rows], pa.float64()),
-            }
-        )
-
     return (
         ds.map_batches(local_topk, batch_format="pyarrow")
         .groupby("query_id")
-        .map_groups(global_topk, batch_format="pyarrow")
+        .map_groups(_global_topk_fn(id_col, k), batch_format="pyarrow")
     )
 
 
@@ -156,25 +163,8 @@ def knn_ivf(
             }
         )
 
-    def global_topk(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(
-                group.column("score").to_pylist(),
-                group.column(id_col).to_pylist(),
-                group.column("query_id").to_pylist(),
-            ),
-            key=lambda r: (-r[0], r[1]),
-        )[:k]
-        return pa.table(
-            {
-                "query_id": pa.array([r[2] for r in rows], pa.int64()),
-                id_col: pa.array([r[1] for r in rows]),
-                "score": pa.array([r[0] for r in rows], pa.float64()),
-            }
-        )
-
     return (
         ds.map_batches(local_topk, batch_format="pyarrow")
         .groupby("query_id")
-        .map_groups(global_topk, batch_format="pyarrow")
+        .map_groups(_global_topk_fn(id_col, k), batch_format="pyarrow")
     )

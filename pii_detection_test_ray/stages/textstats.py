@@ -51,7 +51,8 @@ class SignatureBatcher:
         shashes: list[int] = []
         for text in batch.column(self.text_col).to_pylist():
             sigs.append(self.hasher.signature_for_text(text, self.ngram).tolist())
-            shashes.append(simhash64(text) & 0x7FFFFFFFFFFFFFFF)
+            sh = simhash64(text)
+            shashes.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
         return batch.append_column(
             "minhash_sig", pa.array(sigs, pa.list_(pa.uint64()))
         ).append_column("simhash", pa.array(shashes, pa.int64()))
