@@ -189,6 +189,52 @@ def q_token_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_symbol_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-source symbol (non-alphanumeric, non-space) character totals —
+    the symbol-ratio gate feature, SQL-cross-checked."""
+    from ..functions.quality import symbol_ratio
+    from ..stages.shuffle import partial_groupby_sum
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def count_symbols(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_symbols": pa.array(
+                    [int(round(symbol_ratio(t) * len(t))) for t in texts],
+                    pa.int64(),
+                ),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+
+    return partial_groupby_sum(
+        ds.map_batches(count_symbols, batch_format="pyarrow"),
+        ["source"],
+        ["n_symbols", "n_chars"],
+        count_as="n_docs",
+    )
+
+
+def q_deterministic_sample(sf_dir: str) -> ray.data.Dataset:
+    """Hash-based deterministic ~1/16 sample: keep docs whose normalized md5
+    fingerprint starts with '0'. Unlike seeded random_shuffle, hash sampling
+    is reproducible across engines and cluster sizes — the scale-correct
+    sampling method (and SQL-verifiable)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        mask = [text_fingerprint_md5(t).startswith("0") for t in texts]
+        return pa.table(
+            {"doc_id": batch.column("doc_id")}
+        ).filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
 def q_top_longest(sf_dir: str) -> ray.data.Dataset:
     """Sort + limit (O1/O2 shape): 20 longest docs."""
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
@@ -752,6 +798,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "fingerprints": q_fingerprints,
     "token_counts": q_token_counts,
+    "symbol_stats": q_symbol_stats,
+    "deterministic_sample": q_deterministic_sample,
     "top_longest": q_top_longest,
     "lineitem_rollup": q_lineitem_rollup,
     "orders_by_segment": q_orders_by_segment,

@@ -51,6 +51,19 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY source
     """,
+    "symbol_stats": """
+        SELECT source,
+               sum(length(regexp_replace(text, '[[:alnum:][:space:]]', '', 'g'))) AS n_symbols,
+               sum(length(text)) AS n_chars,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY source
+    """,
+    "deterministic_sample": """
+        SELECT doc_id
+        FROM documents
+        WHERE md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) LIKE '0%'
+    """,
     "top_longest": """
         SELECT doc_id, n_chars
         FROM documents
