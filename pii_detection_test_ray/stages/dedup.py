@@ -120,35 +120,39 @@ class _BandEmitter:
 _MAX_BUCKET_REPS = 256
 
 
-def _pairs_from_group(
-    group: pa.Table, id_col: str, threshold: float
+def _cluster_verify_pairs(
+    group: pa.Table,
+    id_col: str,
+    cluster_keys: list,
+    verify_fn,
+    identical_score: float,
+    score_name: str,
+    score_type: pa.DataType,
 ) -> pa.Table:
-    """Pairs within one LSH bucket, skew-capped.
+    """Shared skew-capped pair emission for one LSH/chunk bucket.
 
-    A bucket of N identical pages would cost O(N^2) pairwise checks; instead
-    rows are first clustered by exact signature (linear): within a cluster,
-    every member pairs with the cluster min (est 1.0) — enough for
-    keep-min dedup semantics — and the O(reps^2) pairwise verification runs
-    only across distinct-signature representatives, capped at
-    _MAX_BUCKET_REPS (beyond that a bucket is pathological input)."""
+    Rows with an identical ``cluster_key`` are exact duplicates under the
+    operator's signature: each member pairs LINEARLY with its cluster's
+    min-id head at ``identical_score`` (O(N), enough for keep-min dedup).
+    The O(reps²) ``verify_fn(i, j) -> score|None`` pass then runs only
+    across distinct-signature representatives, capped at _MAX_BUCKET_REPS
+    (beyond that the bucket is pathological input)."""
     id_type = group.schema.field(id_col).type
     ids = group.column(id_col).to_pylist()
-    sigs = [np.asarray(s, dtype=np.uint64) for s in group.column("sig").to_pylist()]
-    clusters: dict[bytes, list[int]] = {}
-    for i, sig in enumerate(sigs):
-        clusters.setdefault(sig.tobytes(), []).append(i)
-    a_out, b_out, est_out = [], [], []
+    clusters: dict = {}
+    for i, key in enumerate(cluster_keys):
+        clusters.setdefault(key, []).append(i)
+    a_out, b_out, s_out = [], [], []
     reps: list[int] = []
     for members in clusters.values():
         members.sort(key=lambda i: ids[i])
         head = members[0]
         reps.append(head)
         for other in members[1:]:
-            if ids[other] == ids[head]:
-                continue
-            a_out.append(ids[head])
-            b_out.append(ids[other])
-            est_out.append(1.0)
+            if ids[other] != ids[head]:
+                a_out.append(ids[head])
+                b_out.append(ids[other])
+                s_out.append(identical_score)
     reps.sort(key=lambda i: ids[i])
     reps = reps[:_MAX_BUCKET_REPS]
     for x in range(len(reps)):
@@ -156,17 +160,39 @@ def _pairs_from_group(
             i, j = reps[x], reps[y]
             if ids[i] == ids[j]:
                 continue
-            est = float(np.mean(sigs[i] == sigs[j]))
-            if est >= threshold:
+            score = verify_fn(i, j)
+            if score is not None:
                 a_out.append(ids[i])
                 b_out.append(ids[j])
-                est_out.append(round(est, 6))
+                s_out.append(score)
     return pa.table(
         {
             "id_a": pa.array(a_out, id_type),
             "id_b": pa.array(b_out, id_type),
-            "est_jaccard": pa.array(est_out, pa.float64()),
+            score_name: pa.array(s_out, score_type),
         }
+    )
+
+
+def _first_per_pair(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """A pair found in several buckets/bands collapses to one row."""
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def _pairs_from_group(group: pa.Table, id_col: str, threshold: float) -> pa.Table:
+    """MinHash bucket: cluster by exact signature; verify reps by signature
+    agreement fraction ≥ threshold."""
+    sigs = [np.asarray(x, dtype=np.uint64) for x in group.column("sig").to_pylist()]
+
+    def verify(i: int, j: int) -> float | None:
+        est = float(np.mean(sigs[i] == sigs[j]))
+        return round(est, 6) if est >= threshold else None
+
+    return _cluster_verify_pairs(
+        group, id_col, [sig.tobytes() for sig in sigs], verify,
+        identical_score=1.0, score_name="est_jaccard", score_type=pa.float64(),
     )
 
 
@@ -198,13 +224,7 @@ def minhash_duplicate_pairs(
     pairs = bands.groupby("band_key").map_groups(
         lambda g: _pairs_from_group(g, id_col, threshold), batch_format="pyarrow"
     )
-
-    def first_per_pair(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        first_per_pair, batch_format="pyarrow"
-    )
+    return _first_per_pair(pairs)
 
 
 def dedup_minhash(
@@ -271,44 +291,15 @@ def simhash_duplicate_pairs(
         )
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        # Skew cap: cluster identical simhashes linearly (distance 0 pairs
-        # against the cluster min), pairwise only across distinct-hash
-        # representatives (bounded).
-        id_type = group.schema.field(id_col).type
-        ids = group.column(id_col).to_pylist()
         hashes = group.column("simhash").to_pylist()
-        clusters: dict[int, list[int]] = {}
-        for i, h in enumerate(hashes):
-            clusters.setdefault(h, []).append(i)
-        a_out, b_out, d_out = [], [], []
-        reps: list[int] = []
-        for members in clusters.values():
-            members.sort(key=lambda i: ids[i])
-            head = members[0]
-            reps.append(head)
-            for other in members[1:]:
-                if ids[other] != ids[head]:
-                    a_out.append(ids[head])
-                    b_out.append(ids[other])
-                    d_out.append(0)
-        reps.sort(key=lambda i: ids[i])
-        reps = reps[:_MAX_BUCKET_REPS]
-        rows = [(ids[i], hashes[i]) for i in reps]
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if rows[i][0] == rows[j][0]:
-                    continue
-                d = hamming64(rows[i][1], rows[j][1])
-                if d <= max_hamming:
-                    a_out.append(rows[i][0])
-                    b_out.append(rows[j][0])
-                    d_out.append(d)
-        return pa.table(
-            {
-                "id_a": pa.array(a_out, id_type),
-                "id_b": pa.array(b_out, id_type),
-                "hamming": pa.array(d_out, pa.int64()),
-            }
+
+        def verify(i: int, j: int) -> int | None:
+            d = hamming64(hashes[i], hashes[j])
+            return d if d <= max_hamming else None
+
+        return _cluster_verify_pairs(
+            group, id_col, hashes, verify,
+            identical_score=0, score_name="hamming", score_type=pa.int64(),
         )
 
     pairs = (
@@ -316,9 +307,7 @@ def simhash_duplicate_pairs(
         .groupby("chunk_key")
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _first_per_pair(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -354,51 +343,25 @@ def ngram_jaccard_pairs(
     )
 
     def verify(group: pa.Table) -> pa.Table:
-        # Skew cap: identical texts cluster linearly (jaccard 1.0 against
-        # the min id); exact n-gram verification runs only across distinct
-        # texts, capped.
-        id_type = group.schema.field(id_col).type
-        ids = group.column(id_col).to_pylist()
         texts = group.column(text_col).to_pylist()
-        clusters: dict[str, list[int]] = {}
-        for i, t in enumerate(texts):
-            clusters.setdefault(t, []).append(i)
-        a_out, b_out, j_out = [], [], []
-        reps: list[int] = []
-        for members in clusters.values():
-            members.sort(key=lambda i: ids[i])
-            head = members[0]
-            reps.append(head)
-            for other in members[1:]:
-                if ids[other] != ids[head]:
-                    a_out.append(ids[head])
-                    b_out.append(ids[other])
-                    j_out.append(1.0)
-        reps.sort(key=lambda i: ids[i])
-        reps = reps[:_MAX_BUCKET_REPS]
-        shingle_sets = {i: set(word_ngrams(texts[i], ngram)) for i in reps}
-        for x in range(len(reps)):
-            for y in range(x + 1, len(reps)):
-                i, j = reps[x], reps[y]
-                if ids[i] == ids[j]:
-                    continue
-                jac = jaccard(shingle_sets[i], shingle_sets[j])
-                if jac >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    j_out.append(round(jac, 6))
-        return pa.table(
-            {
-                "id_a": pa.array(a_out, id_type),
-                "id_b": pa.array(b_out, id_type),
-                "jaccard": pa.array(j_out, pa.float64()),
-            }
+        shingle_cache: dict[int, set] = {}
+
+        def shingles(i: int) -> set:
+            if i not in shingle_cache:
+                shingle_cache[i] = set(word_ngrams(texts[i], ngram))
+            return shingle_cache[i]
+
+        def verify_pair(i: int, j: int) -> float | None:
+            jac = jaccard(shingles(i), shingles(j))
+            return round(jac, 6) if jac >= threshold else None
+
+        return _cluster_verify_pairs(
+            group, id_col, texts, verify_pair,
+            identical_score=1.0, score_name="jaccard", score_type=pa.float64(),
         )
 
     pairs = bands.groupby("band_key").map_groups(verify, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _first_per_pair(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -466,6 +429,4 @@ def embedding_duplicate_pairs(
         .groupby("bucket")
         .map_groups(verify, batch_format="pyarrow")
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _first_per_pair(pairs)
