@@ -60,11 +60,15 @@ def main() -> None:
         ds = build_pipeline(files, opts)
         return kept_corpus(ds) if args.kept_only else ds
 
+    if not os.path.isdir(args.input):
+        sys.exit(f"error: --input {args.input!r} is not a directory")
     shards = sorted(
         os.path.join(args.input, f)
         for f in os.listdir(args.input)
         if f.endswith(".parquet")
     )
+    if not shards:
+        sys.exit(f"error: no .parquet shards found under {args.input!r}")
     results = resumable_run(shards, args.output, pipeline, group_size=args.group_size)
     summary = {
         "groups": len(results),
