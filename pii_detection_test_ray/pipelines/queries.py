@@ -353,6 +353,63 @@ def q_customers_per_region(sf_dir: str) -> ray.data.Dataset:
     return _rename(agg, {"count()": "n_customers", "sum(bal_cents)": "total_bal_cents"})
 
 
+def q_parts_by_brand(sf_dir: str) -> ray.data.Dataset:
+    """Per-brand part statistics (combiner aggregation; exact cents)."""
+    from ..stages.shuffle import partial_groupby_sum
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("p_retailprice"), 100.0), 0), pa.int64()
+        )
+        return pa.table(
+            {
+                "p_brand": batch.column("p_brand"),
+                "price_cents": cents,
+                "total_size": pc.cast(batch.column("p_size"), pa.int64()),
+            }
+        )
+
+    return partial_groupby_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["p_brand"],
+        ["price_cents", "total_size"],
+        count_as="n_parts",
+    )
+
+
+def q_supplier_balances(sf_dir: str) -> ray.data.Dataset:
+    """Suppliers per nation (broadcast join to nation names) + balances."""
+    nations = {
+        r["n_nationkey"]: r["n_name"] for r in _read(sf_dir, "nation").take_all()
+    }
+    nat_ref = ray.put(nations)
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        nat = ray.get(nat_ref)
+        keys = batch.column("s_nationkey").to_pylist()
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("s_acctbal"), 100.0), 0), pa.int64()
+        )
+        return pa.table(
+            {
+                "n_name": pa.array([nat[k] for k in keys], pa.string()),
+                "bal_cents": cents,
+            }
+        )
+
+    from ..stages.shuffle import partial_groupby_sum
+
+    return partial_groupby_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["n_name"],
+        ["bal_cents"],
+        count_as="n_suppliers",
+    )
+
+
 def q_order_priority_revenue(sf_dir: str) -> ray.data.Dataset:
     """Large ⋈ large: lineitem ⋈ orders via the explicit bucketed hash join
     (stages/joins.py), rolled up by order priority. Revenue is integer math
@@ -804,6 +861,8 @@ QUERIES = {
     "lineitem_rollup": q_lineitem_rollup,
     "orders_by_segment": q_orders_by_segment,
     "customers_per_region": q_customers_per_region,
+    "parts_by_brand": q_parts_by_brand,
+    "supplier_balances": q_supplier_balances,
     "order_priority_revenue": q_order_priority_revenue,
     "orders_semi_join": q_orders_semi_join,
     "orders_anti_join": q_orders_anti_join,

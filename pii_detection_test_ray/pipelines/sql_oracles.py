@@ -98,6 +98,22 @@ ORACLES: dict[str, str] = {
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name
     """,
+    "parts_by_brand": """
+        SELECT p_brand,
+               sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS price_cents,
+               sum(CAST(p_size AS BIGINT)) AS total_size,
+               count(*) AS n_parts
+        FROM part
+        GROUP BY p_brand
+    """,
+    "supplier_balances": """
+        SELECT n.n_name,
+               sum(CAST(round(s.s_acctbal * 100, 0) AS BIGINT)) AS bal_cents,
+               count(*) AS n_suppliers
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
     "order_priority_revenue": """
         SELECT o.o_orderpriority,
                sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
