@@ -5,10 +5,11 @@ tools/check_correctness.py)."""
 
 from __future__ import annotations
 
-import math
 import os
 
 import pytest
+
+duckdb = pytest.importorskip("duckdb")
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -32,8 +33,6 @@ QUERY_SLICE = [
 
 @pytest.fixture(scope="module")
 def duck():
-    import duckdb
-
     con = duckdb.connect()
     for table in ("region nation customer supplier part orders lineitem "
                   "events documents embeddings").split():
@@ -45,23 +44,15 @@ def duck():
     return con
 
 
-def _canon(df):
-    df = df.reindex(sorted(df.columns), axis=1)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
-
-
 @pytest.mark.parametrize("name", QUERY_SLICE)
-def test_query_matches_duckdb(name, duck, ray_session):
+def test_query_matches_duckdb(name, duck):
+    # Reuse the driver-stand-in's own comparison so this gate and the full
+    # sweep can never drift apart.
+    from tools.check_correctness import compare
+
     from pii_detection_test_ray.pipelines.queries import QUERIES
     from pii_detection_test_ray.pipelines.sql_oracles import ORACLES
 
-    ray_df = _canon(QUERIES[name](SF_DIR).to_pandas())
-    sql_df = _canon(duck.execute(ORACLES[name]).fetchdf())
-    assert sorted(ray_df.columns) == sorted(sql_df.columns)
-    assert len(ray_df) == len(sql_df)
-    for col in ray_df.columns:
-        for i, (a, b) in enumerate(zip(ray_df[col], sql_df[col])):
-            if isinstance(a, float) and isinstance(b, float):
-                assert a == b or (math.isnan(a) and math.isnan(b)), (col, i, a, b)
-            else:
-                assert a == b, (col, i, a, b)
+    ray_df = QUERIES[name](SF_DIR).to_pandas()
+    sql_df = duck.execute(ORACLES[name]).fetchdf()
+    assert compare(name, ray_df, sql_df) == []
