@@ -148,12 +148,82 @@ def merge_cross_validated(primary: PredDict, secondary: PredDict) -> PredDict:
     return out
 
 
+def merge_secondary_only(primary: PredDict, secondary: PredDict) -> PredDict:
+    """Pure secondary path (the reference's 'Regex Only' baseline row,
+    hybrid_analysis.py:466) — also stage 1 of the learned strategies, which
+    need the secondary's per-category precision."""
+    return {cat: secondary.get(cat) for cat in PII_CATEGORIES}
+
+
+# Reference strategy C's confidence tiers (hybrid_analysis.py:378-381).
+STRONG_REGEX_CATS = frozenset(
+    {"주민등록번호", "여권번호", "운전면허번호", "이메일", "계좌번호", "생년월일", "카드번호"}
+)
+WEAK_REGEX_CATS = frozenset({"이름", "주소", "기타_고유식별정보"})
+
+
+def merge_tiered(primary: PredDict, secondary: PredDict) -> PredDict:
+    """Strategy C (reference: hybrid_analysis.py:378-400): strong categories
+    always union, weak categories primary-only, medium categories backfill
+    (secondary only when the primary is empty)."""
+    out: PredDict = {}
+    for cat in PII_CATEGORIES:
+        p_vals = primary.get(cat)
+        if cat in STRONG_REGEX_CATS:
+            out[cat] = _union(p_vals, secondary.get(cat))
+        elif cat in WEAK_REGEX_CATS:
+            out[cat] = p_vals
+        else:
+            out[cat] = p_vals if p_vals else (
+                sorted(set(secondary.get(cat) or [])) or None
+            )
+    return out
+
+
+def merge_strong_else_backfill(primary: PredDict, secondary: PredDict) -> PredDict:
+    """Strategy E (reference: hybrid_analysis.py:489-501): strong categories
+    union; everything else (weak AND medium) backfills when primary empty."""
+    out: PredDict = {}
+    for cat in PII_CATEGORIES:
+        p_vals = primary.get(cat)
+        if cat in STRONG_REGEX_CATS:
+            out[cat] = _union(p_vals, secondary.get(cat))
+        else:
+            out[cat] = p_vals if p_vals else (
+                sorted(set(secondary.get(cat) or [])) or None
+            )
+    return out
+
+
+def merge_account_conditional(primary: PredDict, secondary: PredDict) -> PredDict:
+    """Strategy G (reference: hybrid_analysis_deep.py:167-181): union on
+    계좌번호, backfill on 주민등록번호/이메일, primary elsewhere."""
+    union_cats = {"계좌번호"}
+    conditional_cats = {"주민등록번호", "이메일"}
+    out: PredDict = {}
+    for cat in PII_CATEGORIES:
+        p_vals = primary.get(cat)
+        if cat in union_cats:
+            out[cat] = _union(p_vals, secondary.get(cat))
+        elif cat in conditional_cats:
+            out[cat] = p_vals if p_vals else (
+                sorted(set(secondary.get(cat) or [])) or None
+            )
+        else:
+            out[cat] = p_vals
+    return out
+
+
 MERGE_POLICIES: dict[str, Callable[[PredDict, PredDict], PredDict]] = {
     "union": merge_union,
     "primary_only": merge_primary_only,
+    "secondary_only": merge_secondary_only,
     "backfill": merge_backfill,
     "smart_account": lambda p, s: merge_union_categories(
         p, s, frozenset({"계좌번호"})
     ),
     "cross_validated": merge_cross_validated,
+    "tiered": merge_tiered,
+    "strong_else_backfill": merge_strong_else_backfill,
+    "account_conditional": merge_account_conditional,
 }

@@ -59,6 +59,11 @@ def process_document(
     m = _models()
     lang, lang_conf = m.langid.classify(text)
     log_ppl = m.ppl.log_perplexity(text)
+    # Gate on the same 6-dp-rounded scores the pipeline stages emit
+    # (stages/langid.py, stages/perplexity.py) — a score within 5e-7 of a
+    # threshold must decide identically in both paths.
+    lang_conf = round(lang_conf, 6)
+    log_ppl = round(log_ppl, 6)
 
     feats = quality_features(text)
     reasons = heuristic_reasons(feats, cfg) + model_reasons(

@@ -37,6 +37,13 @@ from ..stages.similarity import knn_brute_force, knn_ivf
 # ---------------------------------------------------------------------------
 
 
+def _round(arr, ndigits: int = 0):
+    """DuckDB-compatible rounding: round() in DuckDB is half AWAY from zero,
+    while pyarrow's default is banker's (half_to_even) — a latent mismatch on
+    exact .5 ties in the cents/micros conversions."""
+    return pc.round(arr, ndigits, round_mode="half_towards_infinity")
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Column-pruned read. For small files Ray's default 200-block minimum
     turns every downstream groupby into a 200-partition shuffle of crumbs;
@@ -254,13 +261,13 @@ def q_lineitem_rollup(sf_dir: str) -> ray.data.Dataset:
     def prep(batch: pa.Table) -> pa.Table:
         mask = pc.less_equal(batch.column("l_shipdate"), pa.scalar(cutoff))
         batch = batch.filter(mask)
-        qty = pc.cast(pc.round(batch.column("l_quantity"), 0), pa.int64())
+        qty = pc.cast(_round(batch.column("l_quantity"), 0), pa.int64())
         cents = pc.cast(
-            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0), 0),
+            _round(pc.multiply(batch.column("l_extendedprice"), 100.0), 0),
             pa.int64(),
         )
         disc_pct = pc.cast(
-            pc.round(pc.multiply(batch.column("l_discount"), 100.0), 0), pa.int64()
+            _round(pc.multiply(batch.column("l_discount"), 100.0), 0), pa.int64()
         )
         return pa.table(
             {
@@ -289,35 +296,37 @@ def q_lineitem_rollup(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_orders_by_segment(sf_dir: str) -> ray.data.Dataset:
-    """Broadcast hash join (J1 shape): orders ⋈ customer on custkey, rolled
-    up by market segment. Small side shipped once via ray.put."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).take_all()
-    seg_by_key = {r["c_custkey"]: r["c_mktsegment"] for r in cust}
-    seg_ref = ray.put(seg_by_key)
+    """J1 large ⋈ large: orders ⋈ customer on custkey via the bucketed
+    Arrow hash join — customer is NOT a dim table at web scale, so neither
+    side touches the driver. Inner-join semantics exactly (an unmatched
+    custkey drops, matching the SQL oracle), rolled up by market segment."""
+    from ..stages.joins import bucketed_hash_join
+    from ..stages.shuffle import partial_groupby_sum
 
+    cust = _rename(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        {"c_custkey": "o_custkey"},
+    )
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def join(batch: pa.Table) -> pa.Table:
-        segs = ray.get(seg_ref)
-        keys = batch.column("o_custkey").to_pylist()
+    def prep(batch: pa.Table) -> pa.Table:
         cents = pc.cast(
-            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0), 0), pa.int64()
-        ).to_pylist()
+            _round(pc.multiply(batch.column("o_totalprice"), 100.0), 0), pa.int64()
+        )
         return pa.table(
-            {
-                "c_mktsegment": pa.array(
-                    [segs.get(k, "UNKNOWN") for k in keys], pa.string()
-                ),
-                "price_cents": pa.array(cents, pa.int64()),
-            }
+            {"o_custkey": batch.column("o_custkey"), "price_cents": cents}
         )
 
-    agg = (
-        orders.map_batches(join, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(Count(), Sum("price_cents"))
+    joined = bucketed_hash_join(
+        orders.map_batches(prep, batch_format="pyarrow"), cust, key="o_custkey"
     )
-    return _rename(agg, {"count()": "n_orders", "sum(price_cents)": "total_cents"})
+    agg = partial_groupby_sum(
+        joined.drop_columns(["o_custkey"]),
+        ["c_mktsegment"],
+        ["price_cents"],
+        count_as="n_orders",
+    )
+    return _rename(agg, {"price_cents": "total_cents"})
 
 
 def q_customers_per_region(sf_dir: str) -> ray.data.Dataset:
@@ -336,7 +345,7 @@ def q_customers_per_region(sf_dir: str) -> ray.data.Dataset:
         nat, reg = ray.get(lookup_ref)
         nk = batch.column("c_nationkey").to_pylist()
         bal_cents = pc.cast(
-            pc.round(pc.multiply(batch.column("c_acctbal"), 100.0), 0), pa.int64()
+            _round(pc.multiply(batch.column("c_acctbal"), 100.0), 0), pa.int64()
         )
         return pa.table(
             {
@@ -361,7 +370,7 @@ def q_parts_by_brand(sf_dir: str) -> ray.data.Dataset:
 
     def prep(batch: pa.Table) -> pa.Table:
         cents = pc.cast(
-            pc.round(pc.multiply(batch.column("p_retailprice"), 100.0), 0), pa.int64()
+            _round(pc.multiply(batch.column("p_retailprice"), 100.0), 0), pa.int64()
         )
         return pa.table(
             {
@@ -391,7 +400,7 @@ def q_supplier_balances(sf_dir: str) -> ray.data.Dataset:
         nat = ray.get(nat_ref)
         keys = batch.column("s_nationkey").to_pylist()
         cents = pc.cast(
-            pc.round(pc.multiply(batch.column("s_acctbal"), 100.0), 0), pa.int64()
+            _round(pc.multiply(batch.column("s_acctbal"), 100.0), 0), pa.int64()
         )
         return pa.table(
             {
@@ -422,11 +431,11 @@ def q_order_priority_revenue(sf_dir: str) -> ray.data.Dataset:
 
     def prep_line(batch: pa.Table) -> pa.Table:
         cents = pc.cast(
-            pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0), 0),
+            _round(pc.multiply(batch.column("l_extendedprice"), 100.0), 0),
             pa.int64(),
         )
         disc = pc.cast(
-            pc.round(pc.multiply(batch.column("l_discount"), 100.0), 0), pa.int64()
+            _round(pc.multiply(batch.column("l_discount"), 100.0), 0), pa.int64()
         )
         rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
         return pa.table(
@@ -455,9 +464,10 @@ def q_order_priority_revenue(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_orders_semi_join(sf_dir: str) -> ray.data.Dataset:
-    """Semi join: orders whose customer has acctbal > 5000 (broadcast key
-    set, zero shuffle), rolled up by order status."""
-    from ..stages.joins import semi_join_filter
+    """Semi join: orders whose customer has acctbal > 5000, rolled up by
+    order status. The key side (filtered customer — fact-sized at web
+    scale) stays distributed: bucketed semi join, no driver key set."""
+    from ..stages.joins import bucketed_semi_join
     from ..stages.shuffle import partial_groupby_sum
 
     rich = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
@@ -466,15 +476,14 @@ def q_orders_semi_join(sf_dir: str) -> ray.data.Dataset:
         mask = pc.greater(batch.column("c_acctbal"), 5000.0)
         return batch.filter(mask).select(["c_custkey"])
 
-    key_rows = rich.map_batches(keys_only, batch_format="pyarrow").take_all()
-    keys = {r["c_custkey"] for r in key_rows}
+    keys_ds = rich.map_batches(keys_only, batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
-    kept = semi_join_filter(orders, keys, "o_custkey")
+    kept = bucketed_semi_join(orders, keys_ds, "o_custkey", keys_col="c_custkey")
 
     def prep(batch: pa.Table) -> pa.Table:
         cents = pc.cast(
-            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0), 0), pa.int64()
+            _round(pc.multiply(batch.column("o_totalprice"), 100.0), 0), pa.int64()
         )
         return pa.table(
             {"o_orderstatus": batch.column("o_orderstatus"), "price_cents": cents}
@@ -489,8 +498,9 @@ def q_orders_semi_join(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_orders_anti_join(sf_dir: str) -> ray.data.Dataset:
-    """Anti join: orders from customers OUTSIDE the BUILDING segment."""
-    from ..stages.joins import anti_join_filter
+    """Anti join: orders from customers OUTSIDE the BUILDING segment —
+    distributed (bucketed) anti join, the key side never hits the driver."""
+    from ..stages.joins import bucketed_anti_join
 
     seg = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
@@ -498,12 +508,9 @@ def q_orders_anti_join(sf_dir: str) -> ray.data.Dataset:
         mask = pc.equal(batch.column("c_mktsegment"), "BUILDING")
         return batch.filter(mask).select(["c_custkey"])
 
-    keys = {
-        r["c_custkey"]
-        for r in seg.map_batches(keys_only, batch_format="pyarrow").take_all()
-    }
+    keys_ds = seg.map_batches(keys_only, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    kept = anti_join_filter(orders, keys, "o_custkey")
+    kept = bucketed_anti_join(orders, keys_ds, "o_custkey", keys_col="c_custkey")
 
     def count_rows(batch: pa.Table) -> pa.Table:
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
@@ -514,12 +521,24 @@ def q_orders_anti_join(sf_dir: str) -> ray.data.Dataset:
 
 def q_events_rollup(sf_dir: str) -> ray.data.Dataset:
     """Event-stream rollup: per event type, count + exact distinct users +
-    value total (integer micro-units)."""
+    value total (integer micro-units).
+
+    Exact count-distinct WITHOUT a per-type reducer (a single event type is
+    ~1/|types| of the whole log — one task must never see it all):
+    (1) counts + value totals ride the combiner ``partial_groupby_sum``;
+    (2) distinct users = per-batch local distinct of (event_type, user_id)
+        → global distinct via a fine-grained composite-key groupby (uniform
+        keys, no skew) → per-type combiner count.
+    The two per-type results (both output-sized: one row per event type)
+    are merged with a broadcast map. The HLL sibling
+    (``approx_distinct_users``) is the approximate path at extreme scale."""
+    from ..stages.shuffle import partial_groupby_sum
+
     ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
 
     def prep(batch: pa.Table) -> pa.Table:
         micros = pc.cast(
-            pc.round(pc.multiply(batch.column("value"), 1_000_000.0), 0), pa.int64()
+            _round(pc.multiply(batch.column("value"), 1_000_000.0), 0), pa.int64()
         )
         return pa.table(
             {
@@ -531,21 +550,50 @@ def q_events_rollup(sf_dir: str) -> ray.data.Dataset:
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
 
-    def per_group(group: pa.Table) -> pa.Table:
+    totals = partial_groupby_sum(
+        prepped.drop_columns(["user_id"]),
+        ["event_type"],
+        ["value_micros"],
+        count_as="n_events",
+    )
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["event_type", "user_id"])
+            .group_by(["event_type", "user_id"])
+            .aggregate([])
+        )
+
+    distinct_pairs = (
+        prepped.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count())
+    )
+    users = partial_groupby_sum(
+        distinct_pairs.drop_columns(["user_id", "count()"]),
+        ["event_type"],
+        [],
+        count_as="n_users",
+    )
+
+    # Both sides are one row per event type — output-sized, so a driver-side
+    # collect of `users` is bounded by the result cardinality, not the data.
+    n_users_by_type = {r["event_type"]: r["n_users"] for r in users.take_all()}
+    users_ref = ray.put(n_users_by_type)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(users_ref)
+        types = batch.column("event_type").to_pylist()
         return pa.table(
             {
-                "event_type": group.column("event_type").slice(0, 1),
-                "n_events": pa.array([group.num_rows], pa.int64()),
-                "n_users": pa.array(
-                    [pc.count_distinct(group.column("user_id")).as_py()], pa.int64()
-                ),
-                "total_value_micros": pa.array(
-                    [pc.sum(group.column("value_micros")).as_py()], pa.int64()
-                ),
+                "event_type": batch.column("event_type"),
+                "n_events": batch.column("n_events"),
+                "n_users": pa.array([lookup[t] for t in types], pa.int64()),
+                "total_value_micros": batch.column("value_micros"),
             }
         )
 
-    return prepped.groupby("event_type").map_groups(per_group, batch_format="pyarrow")
+    return totals.map_batches(attach, batch_format="pyarrow")
 
 
 def q_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
@@ -602,7 +650,7 @@ def q_knn_cosine(sf_dir: str) -> ray.data.Dataset:
         lambda b: b.set_column(
             b.column_names.index("score"),
             "score",
-            pc.round(b.column("score"), 6),
+            _round(b.column("score"), 6),
         ),
         batch_format="pyarrow",
     )
@@ -746,12 +794,33 @@ def q_langid_accuracy(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_merge_policy_compare(sf_dir: str) -> ray.data.Dataset:
-    """F5: all hybrid merge policies scored against golden labels in one
-    distributed pass (model path = classifier-confirmed names)."""
-    from .hybrid import policy_comparison
+    """F5: all hybrid merge policies — the 9 static strategies plus the two
+    LEARNED ones (A: high-precision-union, F: F1-improving-union, category
+    sets from a first distributed pass) — scored against golden labels."""
+    from .hybrid import learned_policies, policy_comparison
 
     corpus = synthetic_corpus_dir()
-    return policy_comparison(_pipeline_output(corpus), f"{corpus}/labels.parquet")
+    ds = _pipeline_output(corpus)
+    labels = f"{corpus}/labels.parquet"
+    extra = learned_policies(ds, labels)
+    return policy_comparison(ds, labels, extra_policies=extra)
+
+
+def q_regex_precision_ranking(sf_dir: str) -> ray.data.Dataset:
+    """A7 (reference: hybrid_analysis.py:152-163): per-PII-category regex
+    precision, ranked descending — the selection signal for merge strategy
+    A. Global sort of an output-sized rollup (12 rows), then rank."""
+    from ..stages.eval_agg import rollup_by_pii_category
+
+    rows = rollup_by_pii_category(_metric_rows(synthetic_corpus_dir()))
+    ranked = rows.sort(["precision", "pii_category"], descending=[True, False])
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rank", pa.array(range(1, batch.num_rows + 1), pa.int64())
+        )
+
+    return ranked.repartition(1).map_batches(add_rank, batch_format="pyarrow")
 
 
 def q_difficulty_rollup(sf_dir: str) -> ray.data.Dataset:
@@ -880,6 +949,7 @@ QUERIES = {
     "confusion_matrix": q_confusion_matrix,
     "worst_failures": q_worst_failures,
     "merge_policy_compare": q_merge_policy_compare,
+    "regex_precision_ranking": q_regex_precision_ranking,
     "langid_accuracy": q_langid_accuracy,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,

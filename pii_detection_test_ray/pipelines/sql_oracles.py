@@ -3,14 +3,20 @@
 Column names and numeric contracts (integer sums, exact int/int divisions,
 money in cents) match the Ray implementations exactly — the driver compares
 value hashes after sorting columns by name.
+
+IMPORTANT dtype contract: DuckDB returns ``sum(BIGINT)`` as HUGEINT, which
+``fetchdf()`` renders as float64 while the Ray side emits int64, so the
+driver's typed value-hash fails even when values are equal.  Every ``sum``
+here is therefore wrapped in ``CAST(... AS BIGINT)``.  ``count(*)`` is
+already BIGINT and needs no cast.
 """
 
 ORACLES: dict[str, str] = {
     "lang_profile": """
         SELECT lang,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
-               sum(n_chars)::DOUBLE / count(*) AS avg_chars
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
         FROM documents
         GROUP BY lang
     """,
@@ -18,18 +24,22 @@ ORACLES: dict[str, str] = {
         WITH feats AS (
             SELECT source,
                    n_chars,
-                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
-                   len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_distinct
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_words,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                   END AS n_distinct
             FROM documents
         )
         SELECT source,
                count(*) AS n_docs,
-               sum(n_words) AS total_words,
-               sum(n_distinct) AS total_distinct_words,
-               sum(CASE WHEN n_chars BETWEEN 150 AND 450
-                         AND n_words >= 20
-                         AND n_distinct::DOUBLE / n_words >= 0.2
-                        THEN 1 ELSE 0 END) AS n_kept
+               CAST(sum(n_words) AS BIGINT) AS total_words,
+               CAST(sum(n_distinct) AS BIGINT) AS total_distinct_words,
+               CAST(sum(CASE WHEN n_chars BETWEEN 150 AND 450
+                              AND n_words >= 20
+                              AND n_distinct::DOUBLE / n_words >= 0.2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM feats
         GROUP BY source
     """,
@@ -44,17 +54,24 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "token_counts": """
+        WITH toks AS (
+            SELECT source,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        )
         SELECT source,
-               sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
-               max(len(regexp_split_to_array(trim(text), '\\s+'))) AS max_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               max(n_tokens) AS max_tokens,
                count(*) AS n_docs
-        FROM documents
+        FROM toks
         GROUP BY source
     """,
     "symbol_stats": """
         SELECT source,
-               sum(length(regexp_replace(text, '[[:alnum:][:space:]]', '', 'g'))) AS n_symbols,
-               sum(length(text)) AS n_chars,
+               CAST(sum(length(regexp_replace(text, '[[:alnum:][:space:]]', '', 'g'))) AS BIGINT) AS n_symbols,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars,
                count(*) AS n_docs
         FROM documents
         GROUP BY source
@@ -62,7 +79,7 @@ ORACLES: dict[str, str] = {
     "deterministic_sample": """
         SELECT doc_id
         FROM documents
-        WHERE md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) LIKE '0%'
+        WHERE md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) LIKE '0%'
     """,
     "top_longest": """
         SELECT doc_id, n_chars
@@ -73,9 +90,9 @@ ORACLES: dict[str, str] = {
     "lineitem_rollup": """
         SELECT l_returnflag,
                l_linestatus,
-               sum(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty,
-               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_cents,
-               sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS sum_disc_pct,
+               CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_pct,
                count(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -84,7 +101,7 @@ ORACLES: dict[str, str] = {
     "orders_by_segment": """
         SELECT c.c_mktsegment,
                count(*) AS n_orders,
-               sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
@@ -92,7 +109,7 @@ ORACLES: dict[str, str] = {
     "customers_per_region": """
         SELECT r.r_name,
                count(*) AS n_customers,
-               sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS total_bal_cents
+               CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS total_bal_cents
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -100,15 +117,15 @@ ORACLES: dict[str, str] = {
     """,
     "parts_by_brand": """
         SELECT p_brand,
-               sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS price_cents,
-               sum(CAST(p_size AS BIGINT)) AS total_size,
+               CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents,
+               CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size,
                count(*) AS n_parts
         FROM part
         GROUP BY p_brand
     """,
     "supplier_balances": """
         SELECT n.n_name,
-               sum(CAST(round(s.s_acctbal * 100, 0) AS BIGINT)) AS bal_cents,
+               CAST(sum(CAST(round(s.s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents,
                count(*) AS n_suppliers
         FROM supplier s
         JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -116,8 +133,8 @@ ORACLES: dict[str, str] = {
     """,
     "order_priority_revenue": """
         SELECT o.o_orderpriority,
-               sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
-                   * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS revenue_u,
+               CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_u,
                count(*) AS n_items
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -125,7 +142,7 @@ ORACLES: dict[str, str] = {
     """,
     "orders_semi_join": """
         SELECT o_orderstatus,
-               sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS price_cents,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents,
                count(*) AS n_orders
         FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
@@ -142,7 +159,7 @@ ORACLES: dict[str, str] = {
         SELECT event_type,
                count(*) AS n_events,
                count(DISTINCT user_id) AS n_users,
-               sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS total_value_micros
+               CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS total_value_micros
         FROM events
         GROUP BY event_type
     """,
@@ -150,7 +167,7 @@ ORACLES: dict[str, str] = {
         SELECT event_type,
                date_trunc('hour', ts) AS window_start,
                count(*) AS n_events,
-               sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS total_value_micros
+               CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS total_value_micros
         FROM events
         GROUP BY event_type, date_trunc('hour', ts)
     """,
@@ -161,9 +178,9 @@ ORACLES: dict[str, str] = {
             FROM events
         )
         SELECT user_id,
-               sum(CASE WHEN prev_ts IS NULL
-                         OR ts - prev_ts > INTERVAL 30 MINUTE
-                        THEN 1 ELSE 0 END) AS n_sessions,
+               CAST(sum(CASE WHEN prev_ts IS NULL
+                              OR ts - prev_ts > INTERVAL 30 MINUTE
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                count(*) AS n_events
         FROM ordered
         GROUP BY user_id

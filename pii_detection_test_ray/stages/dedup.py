@@ -237,20 +237,17 @@ def dedup_minhash(
     """Drop every doc that is the larger id of some near-duplicate pair
     (keep-first-by-id semantics; transitive chains collapse to the min id of
     each overlapping pair set)."""
+    from .joins import bucketed_anti_join
+
     pairs = minhash_duplicate_pairs(
         ds, id_col=id_col, text_col=text_col, threshold=threshold, **kwargs
     )
-    drop_ids = {row["id_b"] for row in pairs.select_columns(["id_b"]).take_all()}
-    if not drop_ids:
-        return ds
-    drop_ref = ray.put(drop_ids)
-
-    def keep_batch(batch: pa.Table) -> pa.Table:
-        drops = ray.get(drop_ref)
-        mask = [i not in drops for i in batch.column(id_col).to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
-
-    return ds.map_batches(keep_batch, batch_format="pyarrow")
+    # Distributed anti-join: the drop-id side (every id_b) stays a Dataset,
+    # bucketed by id hash alongside the corpus — at 100 TB the dup-id set
+    # can exceed driver memory, so it must never be take_all()'d.
+    return bucketed_anti_join(
+        ds, pairs.select_columns(["id_b"]), id_col, keys_col="id_b"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -400,28 +397,21 @@ def embedding_duplicate_pairs(
         )
 
     def verify(group: pa.Table) -> pa.Table:
-        id_type = group.schema.field(id_col).type
-        ids = group.column(id_col).to_pylist()
+        # Same skew-capped shape as the MinHash/SimHash siblings: rows with
+        # byte-identical unit vectors cluster (exact duplicates, cosine 1.0,
+        # paired linearly with the cluster head), and the O(reps²) cosine
+        # pass runs only over distinct-vector representatives, capped at
+        # _MAX_BUCKET_REPS — a mass-duplicated vector no longer makes the
+        # bucket quadratic.
         unit = np.asarray(group.column("unit").to_pylist(), dtype=np.float64)
-        order = np.argsort(np.asarray(ids))
-        a_out, b_out, c_out = [], [], []
-        sims = unit @ unit.T
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if ids[i] == ids[j]:
-                    continue
-                c = float(sims[i, j])
-                if c >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    c_out.append(round(c, 6))
-        return pa.table(
-            {
-                "id_a": pa.array(a_out, id_type),
-                "id_b": pa.array(b_out, id_type),
-                "cosine": pa.array(c_out, pa.float64()),
-            }
+
+        def verify_pair(i: int, j: int) -> float | None:
+            c = float(unit[i] @ unit[j])
+            return round(c, 6) if c >= threshold else None
+
+        return _cluster_verify_pairs(
+            group, id_col, [u.tobytes() for u in unit], verify_pair,
+            identical_score=1.0, score_name="cosine", score_type=pa.float64(),
         )
 
     pairs = (

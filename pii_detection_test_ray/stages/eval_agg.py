@@ -174,16 +174,33 @@ def rollup_by_difficulty(rows: ray.data.Dataset) -> ray.data.Dataset:
             .append_column("n_perfect", pa.array(perfect, pa.int64()))
             .append_column("accuracy", pa.array(acc, pa.float64()))
         )
-        return _finalize_prf(batch)
+        batch = _finalize_prf(batch)
+        # Clean output schema: aliased partials fold into tp/fp/fn; the
+        # doc-level count/perfect partials (12× inflated) drop entirely.
+        batch = batch.drop_columns(["count()", "sum(perfect)"])
+        return batch.rename_columns(
+            [
+                {"sum(tp)": "tp", "sum(fp)": "fp", "sum(fn)": "fn"}.get(c, c)
+                for c in batch.column_names
+            ]
+        )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
 def confusion_by_pii_category(rows: ray.data.Dataset) -> ray.data.Dataset:
     """A6: binary presence confusion matrix per PII category."""
-    return rows.groupby("pii_category").aggregate(
+    agg = rows.groupby("pii_category").aggregate(
         Sum("bin_tp"), Sum("bin_tn"), Sum("bin_fp"), Sum("bin_fn")
     )
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [c.removeprefix("sum(").removesuffix(")") if c.startswith("sum(")
+             else c for c in batch.column_names]
+        )
+
+    return agg.map_batches(clean, batch_format="pyarrow")
 
 
 def global_micro(rows: ray.data.Dataset) -> dict:

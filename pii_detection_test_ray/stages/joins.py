@@ -3,21 +3,29 @@
 * ``bucketed_hash_join`` — large ⋈ large: both sides get a deterministic
   ``bucket = blake2b(key) % B`` column; one groupby co-locates each bucket's
   rows from both sides (tagged by a side column); the pairwise join runs
-  inside ``map_groups`` with pandas merge. This is the explicit partitioned
-  hash join (no reliance on Dataset.join availability); B is the unit of
-  parallelism and skew spread — salt hot keys into sub-buckets by raising B.
-* ``semi_join_filter`` / ``anti_join_filter`` — small key side broadcast as
-  a set via ``ray.put`` (a Bloom filter at real scale); the big side is
-  filtered inside ``map_batches`` with zero shuffle.
+  inside ``map_groups`` with ``pyarrow.Table.join`` (no pandas round-trip).
+  B is the unit of parallelism and skew spread — it is derived from the
+  inputs' file sizes when not given (≈ one bucket per 128 MiB of input, at
+  least one per CPU), so at 100 TB each join task still sees a bounded slice.
+* ``bucketed_semi_join`` / ``bucketed_anti_join`` — exact distributed
+  semi/anti join: the filter-key side is bucketed WITH the big side, so the
+  key set is never materialized on the driver. One shuffle of the big side.
+* ``semi_join_filter`` / ``anti_join_filter`` — zero-shuffle variants for a
+  genuinely small, already-collected key side (dim tables), broadcast once
+  via ``ray.put``. For fact-sized key sides use the bucketed variants.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
+
+_TARGET_BUCKET_BYTES = 128 << 20  # ≈ compressed input per join task
 
 
 def _bucket_of(value, num_buckets: int) -> int:
@@ -29,14 +37,35 @@ def _bucket_of(value, num_buckets: int) -> int:
     )
 
 
+def _auto_num_buckets(*sides: ray.data.Dataset) -> int:
+    """Size B from input bytes (file metadata only — never executes the
+    plan): one bucket per ~128 MiB of input, floored at the CPU count so
+    small joins still parallelize, capped so tasks don't become crumbs."""
+    total = 0
+    for ds in sides:
+        try:
+            for f in ds.input_files():
+                try:
+                    total += os.path.getsize(f)
+                except OSError:
+                    pass
+        except Exception:  # non-file-backed (from_items etc.)
+            pass
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    by_size = total // _TARGET_BUCKET_BYTES + 1
+    return int(min(65536, max(cpus, by_size)))
+
+
 def bucketed_hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     key: str,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Inner join on ``key``. Output columns = left ∪ right (right's key
     column dropped). Both inputs must share only the key column name."""
+    if num_buckets is None:
+        num_buckets = _auto_num_buckets(left, right)
     l_schema, r_schema = left.schema(), right.schema()
     left_cols = list(l_schema.names)
     right_cols = list(r_schema.names)
@@ -85,18 +114,16 @@ def bucketed_hash_join(
     )
 
     out_schema = pa.schema([(c, col_types[c]) for c in all_cols])
+    r_sel = [key] + [c for c in right_cols if c != key]
 
     def join_bucket(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        l_df = df[df["__side"] == "L"][left_cols]
-        r_df = df[df["__side"] == "R"][[key] + [c for c in right_cols if c != key]]
-        joined = l_df.merge(r_df, on=key, how="inner")
-        # pandas upcasts int64-with-nulls (the union padding) to float64;
-        # cast back to the declared types so the integer-exactness contract
-        # survives the join.
-        return pa.Table.from_pandas(
-            joined[all_cols], preserve_index=False
-        ).cast(out_schema)
+        # Arrow-native: filter + Table.join, zero pandas conversions — the
+        # declared types (and the integer-exactness contract) survive as-is.
+        lmask = pc.equal(group.column("__side"), "L")
+        l_tbl = group.filter(lmask).select(left_cols)
+        r_tbl = group.filter(pc.invert(lmask)).select(r_sel)
+        joined = l_tbl.join(r_tbl, keys=key, join_type="inner")
+        return joined.select(all_cols).cast(out_schema)
 
     return (
         lt.union(rt)
@@ -105,10 +132,106 @@ def bucketed_hash_join(
     )
 
 
+def _bucketed_membership_join(
+    big: ray.data.Dataset,
+    keys_ds: ray.data.Dataset,
+    key_col: str,
+    keys_col: str | None,
+    num_buckets: int | None,
+    anti: bool,
+) -> ray.data.Dataset:
+    """Shared core of the distributed semi/anti join: co-locate big-side
+    rows with the filter keys by key-hash bucket, build the key set
+    per-bucket (each bucket sees ~|keys|/B of the key side), filter there.
+    The key side never touches the driver, so it may be fact-sized."""
+    if num_buckets is None:
+        num_buckets = _auto_num_buckets(big, keys_ds)
+    keys_col = keys_col or key_col
+    big_cols = list(big.schema().names)
+    if "__is_key" in big_cols:
+        raise ValueError("big side already has reserved column __is_key")
+
+    def tag_big(batch: pa.Table) -> pa.Table:
+        buckets = [
+            _bucket_of(v, num_buckets) for v in batch.column(key_col).to_pylist()
+        ]
+        return batch.append_column(
+            "__bucket", pa.array(buckets, pa.int32())
+        ).append_column("__is_key", pa.array([False] * batch.num_rows, pa.bool_()))
+
+    big_types = {
+        n: t for n, t in zip(big.schema().names, big.schema().types)
+    }
+
+    def tag_keys(batch: pa.Table) -> pa.Table:
+        # Local distinct first: duplicated filter keys add shuffle volume
+        # but no information.
+        keys = batch.select([keys_col]).group_by([keys_col]).aggregate([])
+        vals = keys.column(keys_col)
+        buckets = [_bucket_of(v, num_buckets) for v in vals.to_pylist()]
+        cols = {}
+        for c in big_cols:
+            if c == key_col:
+                cols[c] = vals.cast(big_types[key_col])
+            else:
+                cols[c] = pa.nulls(len(vals), big_types[c])
+        out = pa.table(cols)
+        return out.append_column(
+            "__bucket", pa.array(buckets, pa.int32())
+        ).append_column("__is_key", pa.array([True] * len(vals), pa.bool_()))
+
+    tagged = big.map_batches(tag_big, batch_format="pyarrow").union(
+        keys_ds.map_batches(tag_keys, batch_format="pyarrow")
+    )
+
+    def filter_bucket(group: pa.Table) -> pa.Table:
+        is_key = group.column("__is_key")
+        key_rows = group.filter(is_key)
+        data_rows = group.filter(pc.invert(is_key))
+        member = pc.is_in(
+            data_rows.column(key_col), value_set=key_rows.column(key_col).combine_chunks()
+        )
+        mask = pc.invert(member) if anti else member
+        return data_rows.filter(mask).select(big_cols)
+
+    return tagged.groupby("__bucket").map_groups(
+        filter_bucket, batch_format="pyarrow"
+    )
+
+
+def bucketed_semi_join(
+    big: ray.data.Dataset,
+    keys_ds: ray.data.Dataset,
+    key_col: str,
+    keys_col: str | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Keep big-side rows whose ``key_col`` appears in ``keys_ds.keys_col``
+    — exact, fully distributed (no driver-side key set)."""
+    return _bucketed_membership_join(
+        big, keys_ds, key_col, keys_col, num_buckets, anti=False
+    )
+
+
+def bucketed_anti_join(
+    big: ray.data.Dataset,
+    keys_ds: ray.data.Dataset,
+    key_col: str,
+    keys_col: str | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Keep big-side rows whose ``key_col`` does NOT appear in the key side
+    — exact, fully distributed (no driver-side key set)."""
+    return _bucketed_membership_join(
+        big, keys_ds, key_col, keys_col, num_buckets, anti=True
+    )
+
+
 def semi_join_filter(
     big: ray.data.Dataset, keys, key_col: str
 ) -> ray.data.Dataset:
-    """Keep big-side rows whose key is in ``keys`` (broadcast set)."""
+    """Keep big-side rows whose key is in ``keys`` (broadcast set). For
+    dim-table-sized key sides only; fact-sized sides: bucketed_semi_join."""
     key_ref = ray.put(frozenset(keys))
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -122,7 +245,8 @@ def semi_join_filter(
 def anti_join_filter(
     big: ray.data.Dataset, keys, key_col: str
 ) -> ray.data.Dataset:
-    """Keep big-side rows whose key is NOT in ``keys`` (broadcast set)."""
+    """Keep big-side rows whose key is NOT in ``keys`` (broadcast set). For
+    dim-table-sized key sides only; fact-sized sides: bucketed_anti_join."""
     key_ref = ray.put(frozenset(keys))
 
     def keep(batch: pa.Table) -> pa.Table:

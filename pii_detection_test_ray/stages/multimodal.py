@@ -48,23 +48,30 @@ class ImageFeatureBatcher:
 
     def __init__(self, media_col: str = "media") -> None:
         self.media_col = media_col
-        try:  # pragma: no cover - library absent in this container
-            import PIL.Image  # type: ignore # noqa: F401
+        try:  # library absent in this container; gate, don't require
+            import PIL.Image as _pil_image  # type: ignore
 
-            self._real = True
+            self._pil = _pil_image
         except ImportError:
-            self._real = False
+            self._pil = None
 
     def _decode(self, blob: bytes) -> tuple[int, int, float]:
-        if self._real:  # pragma: no cover
-            raise NotImplementedError(
-                "real image decode is stubbed in this environment"
-            )
-        kind, w, h, _ = parse_header(blob)
-        if kind != "I":
-            raise ValueError(f"expected image blob, got kind={kind}")
-        pixels = np.frombuffer(blob[_HEADER.size :], dtype=np.uint8)
-        return w, h, float(pixels.mean()) if pixels.size else 0.0
+        if blob[:4] == MAGIC:
+            # Synthetic container — always decodable, PIL or not.
+            kind, w, h, _ = parse_header(blob)
+            if kind != "I":
+                raise ValueError(f"expected image blob, got kind={kind}")
+            pixels = np.frombuffer(blob[_HEADER.size :], dtype=np.uint8)
+            return w, h, float(pixels.mean()) if pixels.size else 0.0
+        if self._pil is not None:  # pragma: no cover - PIL absent here
+            import io
+
+            img = self._pil.open(io.BytesIO(blob))
+            arr = np.asarray(img.convert("L"), dtype=np.float64)
+            return img.width, img.height, float(arr.mean()) if arr.size else 0.0
+        raise NotImplementedError(
+            "real image decode needs PIL, which is absent in this environment"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, means = [], [], []

@@ -32,9 +32,20 @@ def tumbling_window_agg(
     this is shuffle-light: one groupby over (key, window) partials."""
 
     def assign(batch: pa.Table) -> pa.Table:
-        starts = pc.floor_temporal(batch.column(ts_col), unit=window)
+        # Cast to microsecond precision: DuckDB's date_trunc returns
+        # TIMESTAMP (us); a datetime64[s] column here would be value-equal
+        # but dtype-different, failing the driver's typed value hash.
+        starts = pc.cast(
+            pc.floor_temporal(batch.column(ts_col), unit=window),
+            pa.timestamp("us"),
+        )
         micros = pc.cast(
-            pc.round(pc.multiply(batch.column(value_col), 1_000_000.0), 0),
+            # half_towards_infinity = DuckDB round() (half away from zero),
+            # not pyarrow's banker's default — keeps ties hash-identical.
+            pc.round(
+                pc.multiply(batch.column(value_col), 1_000_000.0), 0,
+                round_mode="half_towards_infinity",
+            ),
             pa.int64(),
         )
         return pa.table(
@@ -52,6 +63,14 @@ def tumbling_window_agg(
     )
 
     def clean(batch: pa.Table) -> pa.Table:
+        # Re-cast AFTER the aggregate: the shuffle re-infers the key column
+        # at seconds precision, but DuckDB's date_trunc is TIMESTAMP (us) and
+        # the driver's value hash is dtype-sensitive.
+        batch = batch.set_column(
+            batch.column_names.index("window_start"),
+            "window_start",
+            pc.cast(batch.column("window_start"), pa.timestamp("us")),
+        )
         return batch.rename_columns(
             [
                 {"count()": "n_events", "sum(value_micros)": "total_value_micros"}.get(

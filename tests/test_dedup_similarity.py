@@ -124,3 +124,45 @@ def test_knn_ivf_recall(ray_session):
     }
     assert len(exact & approx) >= 5  # ≥50% recall with nprobe=half
     assert 3 in approx
+
+
+def test_embedding_bucket_skew_cap(ray_session):
+    """A mass-duplicated vector produces linear head-anchored pairs (shared
+    cluster-verify path), not O(n^2) — mirroring the MinHash skew cap."""
+    from pii_detection_test_ray.stages.dedup import embedding_duplicate_pairs
+
+    rng = np.random.RandomState(3)
+    v = rng.randn(16)
+    v = (v / np.linalg.norm(v)).tolist()
+    rows = [{"vec_id": i, "embedding": list(v)} for i in range(50)]
+    # plus some distinct vectors that must not pair
+    for i in range(50, 60):
+        u = rng.randn(16)
+        rows.append({"vec_id": i, "embedding": (u / np.linalg.norm(u)).tolist()})
+    ds = ray.data.from_items(rows, override_num_blocks=2)
+    pairs = embedding_duplicate_pairs(
+        ds, dim=16, threshold=0.98, n_planes=8
+    ).take_all()
+    dup_pairs = [p for p in pairs if p["id_a"] < 50 and p["id_b"] < 50]
+    assert {p["id_a"] for p in dup_pairs} == {0}  # all anchored at cluster min
+    assert {p["id_b"] for p in dup_pairs} == set(range(1, 50))
+    assert all(p["cosine"] == 1.0 for p in dup_pairs)
+
+
+def test_dedup_minhash_no_driver_materialization(ray_session):
+    """dedup_minhash keeps the kept-set semantics while routing the drop set
+    through the distributed anti-join (no take_all of ids in the operator)."""
+    import inspect
+
+    from pii_detection_test_ray.stages import dedup
+
+    src = inspect.getsource(dedup.dedup_minhash)
+    assert ".take_all(" not in src
+    rows = [
+        {"url": f"d{i:03d}", "text": "identical page body repeated " * 4}
+        for i in range(30)
+    ] + [{"url": f"z{i:03d}", "text": f"unique document number {i} {i*7}"} for i in range(10)]
+    ds = ray.data.from_items(rows, override_num_blocks=3)
+    kept = sorted(r["url"] for r in dedup.dedup_minhash(ds, threshold=0.9).take_all())
+    assert "d000" in kept and all(not k.startswith("d") or k == "d000" for k in kept)
+    assert [k for k in kept if k.startswith("z")] == [f"z{i:03d}" for i in range(10)]

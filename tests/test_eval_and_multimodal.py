@@ -61,8 +61,8 @@ def test_confusion_matrix(eval_rows):
     by_cat = {r["pii_category"]: r for r in rows}
     assert len(by_cat) == 12
     r = by_cat["이메일"]
-    assert r["sum(bin_tp)"] > 0 and r["sum(bin_tn)"] > 0
-    assert r["sum(bin_fp)"] == 0
+    assert r["bin_tp"] > 0 and r["bin_tn"] > 0
+    assert r["bin_fp"] == 0
 
 
 def test_worst_failures(eval_rows):

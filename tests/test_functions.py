@@ -89,6 +89,55 @@ class TestMetrics:
         backfill = MERGE_POLICIES["backfill"](a, b)
         assert backfill["이름"] == ["가"] and backfill["계좌번호"] == ["1-2"]
 
+    @staticmethod
+    def _pred(**cats):
+        return {**{k: None for k in normalize_expected([])}, **cats}
+
+    def test_merge_tiered_strategy_c(self):
+        # Reference hybrid_analysis.py:378-400: strong → always union,
+        # weak → primary only (even when primary is empty),
+        # medium (전화번호/IP주소) → secondary only when primary empty.
+        p = self._pred(이메일=["a@x.com"], 이름=["가"])
+        s = self._pred(이메일=["b@y.com"], 이름=["나"], 전화번호=["010-1234-5678"])
+        out = MERGE_POLICIES["tiered"](p, s)
+        assert out["이메일"] == ["a@x.com", "b@y.com"]  # strong: union
+        assert out["이름"] == ["가"]  # weak: primary only
+        assert out["전화번호"] == ["010-1234-5678"]  # medium: backfilled
+        # weak category with empty primary stays empty under C
+        out2 = MERGE_POLICIES["tiered"](self._pred(), s)
+        assert out2["이름"] is None
+        # medium with non-empty primary keeps primary
+        p3 = self._pred(전화번호=["02-111-2222"])
+        assert MERGE_POLICIES["tiered"](p3, s)["전화번호"] == ["02-111-2222"]
+
+    def test_merge_strong_else_backfill_strategy_e(self):
+        # Reference hybrid_analysis.py:489-501: like C but weak categories
+        # ALSO backfill when the primary is empty.
+        s = self._pred(이름=["나"], 전화번호=["010-1234-5678"])
+        out = MERGE_POLICIES["strong_else_backfill"](self._pred(), s)
+        assert out["이름"] == ["나"]  # E backfills weak; C would not
+        assert out["전화번호"] == ["010-1234-5678"]
+
+    def test_merge_account_conditional_strategy_g(self):
+        # Reference hybrid_analysis_deep.py:167-181: 계좌번호 union,
+        # 주민등록번호/이메일 backfill-if-empty, everything else primary-only.
+        p = self._pred(계좌번호=["110-123"], 주민등록번호=["900101-1234567"])
+        s = self._pred(
+            계좌번호=["220-456"], 주민등록번호=["800101-2345678"],
+            이메일=["c@z.com"], 전화번호=["010-9999-8888"],
+        )
+        out = MERGE_POLICIES["account_conditional"](p, s)
+        assert out["계좌번호"] == ["110-123", "220-456"]  # union
+        assert out["주민등록번호"] == ["900101-1234567"]  # primary non-empty
+        assert out["이메일"] == ["c@z.com"]  # conditional backfill fired
+        assert out["전화번호"] is None  # other: primary only
+
+    def test_merge_secondary_only(self):
+        p = self._pred(이름=["가"])
+        s = self._pred(이름=["나"], 이메일=["a@b.c"])
+        out = MERGE_POLICIES["secondary_only"](p, s)
+        assert out["이름"] == ["나"] and out["이메일"] == ["a@b.c"]
+
 
 class TestQuality:
     def test_token_count(self):

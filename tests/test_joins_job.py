@@ -81,3 +81,45 @@ def test_job_entrypoint_runs_and_resumes(tmp_path):
     assert second.returncode == 0, second.stderr[-2000:]
     s2 = json.loads(second.stdout.strip().splitlines()[-1])
     assert s2["skipped"] == s2["groups"] == s1["groups"]
+
+
+def test_bucketed_semi_anti_join_match_broadcast(ray_session):
+    """Distributed (bucketed) semi/anti joins produce exactly the broadcast
+    variants' row sets — with the key side kept as a Dataset throughout."""
+    from pii_detection_test_ray.stages.joins import (
+        anti_join_filter,
+        bucketed_anti_join,
+        bucketed_semi_join,
+        semi_join_filter,
+    )
+
+    rows = [{"id": i, "key": i % 10} for i in range(100)]
+    ds = ray.data.from_items(rows, override_num_blocks=3)
+    # key side with duplicates + a different column name
+    key_rows = [{"fk": k} for k in (2, 4, 6, 4, 2)]
+    keys_ds = ray.data.from_items(key_rows, override_num_blocks=2)
+
+    semi = bucketed_semi_join(ds, keys_ds, "key", keys_col="fk", num_buckets=4)
+    anti = bucketed_anti_join(ds, keys_ds, "key", keys_col="fk", num_buckets=4)
+    semi_ids = sorted(r["id"] for r in semi.take_all())
+    anti_ids = sorted(r["id"] for r in anti.take_all())
+
+    expect_semi = sorted(
+        r["id"] for r in semi_join_filter(ds, {2, 4, 6}, "key").take_all()
+    )
+    expect_anti = sorted(
+        r["id"] for r in anti_join_filter(ds, {2, 4, 6}, "key").take_all()
+    )
+    assert semi_ids == expect_semi and anti_ids == expect_anti
+    assert len(semi_ids) + len(anti_ids) == len(rows)
+
+
+def test_bucketed_anti_join_empty_key_side(ray_session):
+    from pii_detection_test_ray.stages.joins import bucketed_anti_join
+
+    ds = ray.data.from_items(
+        [{"id": i, "key": i} for i in range(10)], override_num_blocks=2
+    )
+    empty = ds.filter(lambda r: False).select_columns(["key"])
+    out = bucketed_anti_join(ds, empty, "key", num_buckets=2).take_all()
+    assert sorted(r["id"] for r in out) == list(range(10))

@@ -53,7 +53,9 @@ def test_merge_policy_comparison(rows_and_corpus, small_corpus):
     rows = policy_comparison(ds, f"{small_corpus}/labels.parquet").take_all()
     by_policy = {r["policy"]: r for r in rows}
     assert set(by_policy) == {
-        "union", "primary_only", "backfill", "smart_account", "cross_validated"
+        "union", "primary_only", "secondary_only", "backfill", "smart_account",
+        "cross_validated", "tiered", "strong_else_backfill",
+        "account_conditional",
     }
     # The union with raw regex restores anything the classifier filtered →
     # union recall ≥ primary_only recall; all policies keep high precision
@@ -62,3 +64,39 @@ def test_merge_policy_comparison(rows_and_corpus, small_corpus):
     for r in rows:
         assert r["precision"] >= 0.95
         assert r["n_docs"] > 0
+
+
+def test_learned_policies(rows_and_corpus, small_corpus):
+    """Strategies A/F: category sets learned from a first distributed pass
+    (per-category rollup of the base policies), then scored like any other
+    policy."""
+    from pii_detection_test_ray.pipelines.hybrid import (
+        learned_policies,
+        per_category_policy_rollup,
+        policy_comparison,
+    )
+
+    ds, _ = rows_and_corpus
+    labels = f"{small_corpus}/labels.parquet"
+    rollup = per_category_policy_rollup(ds, labels).take_all()
+    assert {r["policy"] for r in rollup} == {
+        "primary_only", "secondary_only", "union"
+    }
+    # 3 policies × 12 categories
+    assert len(rollup) == 36
+
+    extra = learned_policies(ds, labels)
+    assert set(extra) == {"high_precision_union", "f1_improving_union"}
+    rows = policy_comparison(ds, labels, extra_policies=extra).take_all()
+    by_policy = {r["policy"]: r for r in rows}
+    assert "high_precision_union" in by_policy
+    # A learned-union policy never drops primary predictions → recall is at
+    # least primary_only's.
+    assert (
+        by_policy["high_precision_union"]["recall"]
+        >= by_policy["primary_only"]["recall"]
+    )
+    assert (
+        by_policy["f1_improving_union"]["f1"]
+        >= 0.0
+    )

@@ -43,6 +43,14 @@ def compare(name, ray_df, sql_df) -> list[str]:
         return problems
     a, b = canonicalize(ray_df), canonicalize(sql_df)
     for col in a.columns:
+        # Dtype-strict: the driver hashes *typed* values, so int64 vs float64
+        # (e.g. DuckDB sum() -> HUGEINT -> float64) must fail locally too.
+        if str(a[col].dtype) != str(b[col].dtype):
+            problems.append(
+                f"{col}: dtype {a[col].dtype} != {b[col].dtype}")
+    if problems:
+        return problems
+    for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             if isinstance(x, float) and isinstance(y, float):
