@@ -100,3 +100,27 @@ def test_learned_policies(rows_and_corpus, small_corpus):
         by_policy["f1_improving_union"]["f1"]
         >= 0.0
     )
+
+
+def test_write_report_and_charts(rows_and_corpus, tmp_path):
+    """S6/S7: markdown+HTML report and chart-data artifacts over the metric
+    rows (PNG rendering is matplotlib-gated; JSON specs always written)."""
+    import json as _json
+
+    from pii_detection_test_ray.pipelines.writers import write_charts, write_report
+
+    _, rows = rows_and_corpus
+    out = str(tmp_path / "report_out")
+    sec = write_report(rows, out)
+    assert os.path.isfile(f"{out}/report.md") and os.path.isfile(f"{out}/report.html")
+    md = open(f"{out}/report.md", encoding="utf-8").read()
+    assert "## Per-category metrics" in md and "이메일" in md
+    assert len(sec["by_category"]) == 12
+    assert "<table>" in open(f"{out}/report.html", encoding="utf-8").read()
+
+    files = write_charts(rows, out)
+    assert {os.path.basename(f) for f in files} >= {
+        "f1_by_category.json", "difficulty_accuracy.json", "confusion_grid.json"
+    }
+    spec = _json.load(open(f"{out}/charts/f1_by_category.json", encoding="utf-8"))
+    assert len(spec["labels"]) == 12 and len(spec["values"]) == 12
