@@ -296,11 +296,13 @@ def q_lineitem_rollup(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_orders_by_segment(sf_dir: str) -> ray.data.Dataset:
-    """J1 large ⋈ large: orders ⋈ customer on custkey via the bucketed
-    Arrow hash join — customer is NOT a dim table at web scale, so neither
-    side touches the driver. Inner-join semantics exactly (an unmatched
-    custkey drops, matching the SQL oracle), rolled up by market segment."""
-    from ..stages.joins import bucketed_hash_join
+    """J1 orders ⋈ customer on custkey via the adaptive hash join: the
+    build side broadcasts only while its files are under the 256 MiB
+    threshold; past it (customer is NOT a dim table at web scale) the
+    bucketed Arrow join runs with both sides distributed. Inner-join
+    semantics exactly (an unmatched custkey drops, matching the SQL
+    oracle), rolled up by market segment."""
+    from ..stages.joins import hash_join
     from ..stages.shuffle import partial_groupby_sum
 
     cust = _rename(
@@ -317,7 +319,7 @@ def q_orders_by_segment(sf_dir: str) -> ray.data.Dataset:
             {"o_custkey": batch.column("o_custkey"), "price_cents": cents}
         )
 
-    joined = bucketed_hash_join(
+    joined = hash_join(
         orders.map_batches(prep, batch_format="pyarrow"), cust, key="o_custkey"
     )
     agg = partial_groupby_sum(
@@ -465,9 +467,10 @@ def q_order_priority_revenue(sf_dir: str) -> ray.data.Dataset:
 
 def q_orders_semi_join(sf_dir: str) -> ray.data.Dataset:
     """Semi join: orders whose customer has acctbal > 5000, rolled up by
-    order status. The key side (filtered customer — fact-sized at web
-    scale) stays distributed: bucketed semi join, no driver key set."""
-    from ..stages.joins import bucketed_semi_join
+    order status. Adaptive semi join: the key side (filtered customer —
+    fact-sized at web scale) broadcasts only under the size threshold,
+    else it stays distributed through the bucketed path."""
+    from ..stages.joins import semi_join
     from ..stages.shuffle import partial_groupby_sum
 
     rich = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
@@ -479,7 +482,7 @@ def q_orders_semi_join(sf_dir: str) -> ray.data.Dataset:
     keys_ds = rich.map_batches(keys_only, batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
-    kept = bucketed_semi_join(orders, keys_ds, "o_custkey", keys_col="c_custkey")
+    kept = semi_join(orders, keys_ds, "o_custkey", keys_col="c_custkey")
 
     def prep(batch: pa.Table) -> pa.Table:
         cents = pc.cast(
@@ -499,8 +502,9 @@ def q_orders_semi_join(sf_dir: str) -> ray.data.Dataset:
 
 def q_orders_anti_join(sf_dir: str) -> ray.data.Dataset:
     """Anti join: orders from customers OUTSIDE the BUILDING segment —
-    distributed (bucketed) anti join, the key side never hits the driver."""
-    from ..stages.joins import bucketed_anti_join
+    adaptive (broadcast under the size threshold, else bucketed with the
+    key side never touching the driver)."""
+    from ..stages.joins import anti_join
 
     seg = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
@@ -510,7 +514,7 @@ def q_orders_anti_join(sf_dir: str) -> ray.data.Dataset:
 
     keys_ds = seg.map_batches(keys_only, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    kept = bucketed_anti_join(orders, keys_ds, "o_custkey", keys_col="c_custkey")
+    kept = anti_join(orders, keys_ds, "o_custkey", keys_col="c_custkey")
 
     def count_rows(batch: pa.Table) -> pa.Table:
         return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
@@ -524,76 +528,199 @@ def q_events_rollup(sf_dir: str) -> ray.data.Dataset:
     value total (integer micro-units).
 
     Exact count-distinct WITHOUT a per-type reducer (a single event type is
-    ~1/|types| of the whole log — one task must never see it all):
-    (1) counts + value totals ride the combiner ``partial_groupby_sum``;
-    (2) distinct users = per-batch local distinct of (event_type, user_id)
-        → global distinct via a fine-grained composite-key groupby (uniform
-        keys, no skew) → per-type combiner count.
-    The two per-type results (both output-sized: one row per event type)
-    are merged with a broadcast map. The HLL sibling
+    ~1/|types| of the whole log — one task must never see it all), in ONE
+    scan of the input: per-batch Arrow group_by collapses events to
+    (event_type, user_id) partials carrying local count + value sum; one
+    groupby on the fine-grained composite key (uniform, no skew) reduces to
+    per-pair totals; a tiny combiner rollup per type then sums events/values
+    and counts pair rows = distinct users. The HLL sibling
     (``approx_distinct_users``) is the approximate path at extreme scale."""
     from ..stages.shuffle import partial_groupby_sum
 
     ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
 
-    def prep(batch: pa.Table) -> pa.Table:
+    def pair_partials(batch: pa.Table) -> pa.Table:
         micros = pc.cast(
             _round(pc.multiply(batch.column("value"), 1_000_000.0), 0), pa.int64()
         )
-        return pa.table(
+        tbl = pa.table(
             {
                 "event_type": batch.column("event_type"),
                 "user_id": batch.column("user_id"),
                 "value_micros": micros,
             }
         )
-
-    prepped = ds.map_batches(prep, batch_format="pyarrow")
-
-    totals = partial_groupby_sum(
-        prepped.drop_columns(["user_id"]),
-        ["event_type"],
-        ["value_micros"],
-        count_as="n_events",
-    )
-
-    def local_distinct(batch: pa.Table) -> pa.Table:
-        return (
-            batch.select(["event_type", "user_id"])
-            .group_by(["event_type", "user_id"])
-            .aggregate([])
+        g = tbl.group_by(["event_type", "user_id"]).aggregate(
+            [("value_micros", "sum"), ("value_micros", "count")]
         )
-
-    distinct_pairs = (
-        prepped.map_batches(local_distinct, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count())
-    )
-    users = partial_groupby_sum(
-        distinct_pairs.drop_columns(["user_id", "count()"]),
-        ["event_type"],
-        [],
-        count_as="n_users",
-    )
-
-    # Both sides are one row per event type — output-sized, so a driver-side
-    # collect of `users` is bounded by the result cardinality, not the data.
-    n_users_by_type = {r["event_type"]: r["n_users"] for r in users.take_all()}
-    users_ref = ray.put(n_users_by_type)
-
-    def attach(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(users_ref)
-        types = batch.column("event_type").to_pylist()
         return pa.table(
             {
-                "event_type": batch.column("event_type"),
-                "n_events": batch.column("n_events"),
-                "n_users": pa.array([lookup[t] for t in types], pa.int64()),
-                "total_value_micros": batch.column("value_micros"),
+                "event_type": g.column("event_type"),
+                "user_id": g.column("user_id"),
+                "value_micros": g.column("value_micros_sum"),
+                "n_events": pc.cast(g.column("value_micros_count"), pa.int64()),
             }
         )
 
-    return totals.map_batches(attach, batch_format="pyarrow")
+    per_pair = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("value_micros"), Sum("n_events"))
+    )
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "value_micros": batch.column("sum(value_micros)"),
+                "n_events": batch.column("sum(n_events)"),
+            }
+        )
+
+    agg = partial_groupby_sum(
+        per_pair.map_batches(strip, batch_format="pyarrow"),
+        ["event_type"],
+        ["value_micros", "n_events"],
+        count_as="n_users",
+    )
+    return _rename(agg, {"value_micros": "total_value_micros"})
+
+
+def q_orders_by_month(sf_dir: str) -> ray.data.Dataset:
+    """Temporal rollup on a second table: orders per calendar month with
+    exact-cents totals (month = floor_temporal, combiner aggregation)."""
+    from ..stages.shuffle import partial_groupby_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        months = pc.floor_temporal(batch.column("o_orderdate"), unit="month")
+        cents = pc.cast(
+            _round(pc.multiply(batch.column("o_totalprice"), 100.0), 0), pa.int64()
+        )
+        return pa.table({"order_month": months, "total_cents": cents})
+
+    agg = partial_groupby_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["order_month"],
+        ["total_cents"],
+        count_as="n_orders",
+    )
+
+    def fix_unit(batch: pa.Table) -> pa.Table:
+        # The shuffle re-infers the temporal key at seconds precision;
+        # DuckDB's date_trunc is TIMESTAMP (us) — see stages/windows.py.
+        return batch.set_column(
+            batch.column_names.index("order_month"),
+            "order_month",
+            pc.cast(batch.column("order_month"), pa.timestamp("us")),
+        )
+
+    return agg.map_batches(fix_unit, batch_format="pyarrow")
+
+
+def q_part_size_histogram(sf_dir: str) -> ray.data.Dataset:
+    """Histogram shape: part count per integer size. The int32 key is
+    pinned to int64 on BOTH sides (Ray's shuffle upcasts small ints; the
+    oracle CASTs to BIGINT) so the typed value hash agrees."""
+    from ..stages.shuffle import partial_groupby_sum
+
+    ds = _read(sf_dir, "part", ["p_size"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table({"p_size": pc.cast(batch.column("p_size"), pa.int64())})
+
+    return partial_groupby_sum(
+        ds.map_batches(widen, batch_format="pyarrow"), ["p_size"], [],
+        count_as="n_parts",
+    )
+
+
+def q_top_spenders(sf_dir: str) -> ray.data.Dataset:
+    """Top-k-by-aggregate shape: 10 biggest customers by total order value
+    (aggregate → global sort → limit; deterministic custkey tiebreak)."""
+    from ..stages.shuffle import partial_groupby_sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            _round(pc.multiply(batch.column("o_totalprice"), 100.0), 0), pa.int64()
+        )
+        return pa.table(
+            {"o_custkey": batch.column("o_custkey"), "total_cents": cents}
+        )
+
+    agg = partial_groupby_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"],
+        ["total_cents"],
+        count_as="n_orders",
+    )
+    return agg.sort(
+        ["total_cents", "o_custkey"], descending=[True, False]
+    ).limit(10)
+
+
+def q_events_span(sf_dir: str) -> ray.data.Dataset:
+    """Min/max temporal aggregate: first/last event per type. Timestamps
+    reduce as int64 microseconds (Min/Max over int is shuffle-safe), then
+    cast back to timestamp(us)."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(
+            pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64()
+        )
+        return pa.table({"event_type": batch.column("event_type"), "ts_us": us})
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Min("ts_us"), Max("ts_us"), Count())
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "first_ts": pc.cast(
+                    batch.column("min(ts_us)"), pa.timestamp("us")
+                ),
+                "last_ts": pc.cast(
+                    batch.column("max(ts_us)"), pa.timestamp("us")
+                ),
+                "n_events": batch.column("count()"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_acctbal_sign_stats(sf_dir: str) -> ray.data.Dataset:
+    """Conditional-bucket shape: customers split by account-balance sign,
+    with exact-cents totals per bucket."""
+    from ..stages.shuffle import partial_groupby_sum
+
+    ds = _read(sf_dir, "customer", ["c_acctbal"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal")
+        sign = pc.if_else(
+            pc.less(bal, 0.0), pa.scalar("neg"), pa.scalar("nonneg")
+        )
+        cents = pc.cast(_round(pc.multiply(bal, 100.0), 0), pa.int64())
+        return pa.table({"bal_sign": sign, "bal_cents": cents})
+
+    agg = partial_groupby_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["bal_sign"],
+        ["bal_cents"],
+        count_as="n_customers",
+    )
+    return _rename(agg, {"bal_cents": "total_bal_cents"})
 
 
 def q_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
@@ -644,7 +771,7 @@ def q_knn_cosine(sf_dir: str) -> ray.data.Dataset:
             q = np.asarray(row["embedding"], dtype=np.float64)
             break
     assert q is not None
-    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = knn_brute_force(ds, q[None, :], k=10, id_col="vec_id")
     return out.select_columns(["vec_id", "score"]).map_batches(
         lambda b: b.set_column(
@@ -899,7 +1026,7 @@ def q_knn_ivf(sf_dir: str) -> ray.data.Dataset:
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     first = pq.read_table(emb_path, columns=["vec_id", "embedding"]).slice(0, 1)
     q = np.asarray(first.to_pylist()[0]["embedding"], dtype=np.float64)
-    ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return knn_ivf(ds, q[None, :], k=10, n_clusters=16, nprobe=6, id_col="vec_id")
 
 
@@ -936,6 +1063,11 @@ QUERIES = {
     "orders_semi_join": q_orders_semi_join,
     "orders_anti_join": q_orders_anti_join,
     "events_rollup": q_events_rollup,
+    "orders_by_month": q_orders_by_month,
+    "part_size_histogram": q_part_size_histogram,
+    "top_spenders": q_top_spenders,
+    "events_span": q_events_span,
+    "acctbal_sign_stats": q_acctbal_sign_stats,
     "approx_distinct_users": q_approx_distinct_users,
     "events_windowed": q_events_windowed,
     "sessionize": q_sessionize,

@@ -155,6 +155,43 @@ ORACLES: dict[str, str] = {
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         )
     """,
+    "orders_by_month": """
+        SELECT date_trunc('month', o_orderdate) AS order_month,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY date_trunc('month', o_orderdate)
+    """,
+    "part_size_histogram": """
+        SELECT CAST(p_size AS BIGINT) AS p_size,
+               count(*) AS n_parts
+        FROM part
+        GROUP BY p_size
+    """,
+    "top_spenders": """
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY total_cents DESC, o_custkey
+        LIMIT 10
+    """,
+    "events_span": """
+        SELECT event_type,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    "acctbal_sign_stats": """
+        SELECT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS bal_sign,
+               CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS total_bal_cents,
+               count(*) AS n_customers
+        FROM customer
+        GROUP BY 1
+    """,
     "events_rollup": """
         SELECT event_type,
                count(*) AS n_events,

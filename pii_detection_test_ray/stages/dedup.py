@@ -29,6 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from .similarity import _as_matrix
 from ..functions.hashing import (
     MinHasher,
     hamming64,
@@ -382,7 +383,7 @@ def embedding_duplicate_pairs(
     planes = rng.randn(n_planes, dim).astype(np.float64)
 
     def emit_bucket(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = _as_matrix(batch.column(vec_col))
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
@@ -403,7 +404,7 @@ def embedding_duplicate_pairs(
         # pass runs only over distinct-vector representatives, capped at
         # _MAX_BUCKET_REPS — a mass-duplicated vector no longer makes the
         # bucket quadratic.
-        unit = np.asarray(group.column("unit").to_pylist(), dtype=np.float64)
+        unit = _as_matrix(group.column("unit"))
 
         def verify_pair(i: int, j: int) -> float | None:
             c = float(unit[i] @ unit[j])

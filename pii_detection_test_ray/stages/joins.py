@@ -26,6 +26,26 @@ import ray
 import ray.data
 
 _TARGET_BUCKET_BYTES = 128 << 20  # ≈ compressed input per join task
+# Build sides whose input files are smaller than this are broadcast once via
+# ray.put instead of shuffled — the auto-broadcast-join threshold. Unknown
+# sizes (non-file sources) conservatively take the shuffle path.
+_BROADCAST_THRESHOLD_BYTES = 256 << 20
+
+
+def _input_bytes(ds: ray.data.Dataset) -> int | None:
+    """Compressed bytes of the datasource files (metadata only; never
+    executes the plan). None when unknown (e.g. from_items)."""
+    total, known = 0, False
+    try:
+        for f in ds.input_files():
+            try:
+                total += os.path.getsize(f)
+                known = True
+            except OSError:
+                pass
+    except Exception:
+        pass
+    return total if known else None
 
 
 def _bucket_of(value, num_buckets: int) -> int:
@@ -132,6 +152,64 @@ def bucketed_hash_join(
     )
 
 
+def broadcast_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+) -> ray.data.Dataset:
+    """Inner join where the (dim-sized) right side is collected once and
+    shipped via ``ray.put``. Handles duplicate right keys (row fan-out) and
+    preserves declared column types. Use only when the right side is known
+    small — ``hash_join`` routes here below the broadcast threshold."""
+    r_schema = right.schema()
+    right_cols = [c for c in r_schema.names if c != key]
+    right_types = {
+        n: t for n, t in zip(r_schema.names, r_schema.types) if n != key
+    }
+    overlap = (set(left.schema().names) & set(r_schema.names)) - {key}
+    if overlap:
+        raise ValueError(f"non-key column collision: {overlap}")
+
+    rmap: dict = {}
+    for row in right.take_all():
+        rmap.setdefault(row[key], []).append(tuple(row[c] for c in right_cols))
+    ref = ray.put(rmap)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        l_idx: list[int] = []
+        matched: list[tuple] = []
+        for i, k in enumerate(batch.column(key).to_pylist()):
+            for rr in lookup.get(k, ()):
+                l_idx.append(i)
+                matched.append(rr)
+        out = batch.take(pa.array(l_idx, pa.int64()))
+        for j, col in enumerate(right_cols):
+            out = out.append_column(
+                col, pa.array([m[j] for m in matched], right_types[col])
+            )
+        return out
+
+    return left.map_batches(join_batch, batch_format="pyarrow")
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    num_buckets: int | None = None,
+    broadcast_threshold: int = _BROADCAST_THRESHOLD_BYTES,
+) -> ray.data.Dataset:
+    """Inner join with automatic strategy choice: broadcast the right side
+    when its datasource files are under ``broadcast_threshold`` (zero
+    shuffle), else the bucketed Arrow hash join (both sides distributed).
+    Semantics are identical either way; only the exchange plan differs."""
+    rb = _input_bytes(right)
+    if rb is not None and rb < broadcast_threshold:
+        return broadcast_hash_join(left, right, key)
+    return bucketed_hash_join(left, right, key, num_buckets=num_buckets)
+
+
 def _bucketed_membership_join(
     big: ray.data.Dataset,
     keys_ds: ray.data.Dataset,
@@ -225,6 +303,45 @@ def bucketed_anti_join(
     return _bucketed_membership_join(
         big, keys_ds, key_col, keys_col, num_buckets, anti=True
     )
+
+
+def semi_join(
+    big: ray.data.Dataset,
+    keys_ds: ray.data.Dataset,
+    key_col: str,
+    keys_col: str | None = None,
+    num_buckets: int | None = None,
+    broadcast_threshold: int = _BROADCAST_THRESHOLD_BYTES,
+) -> ray.data.Dataset:
+    """Semi join with automatic strategy: broadcast the key set when the key
+    side's input files are small, else the exact bucketed path."""
+    kb = _input_bytes(keys_ds)
+    if kb is not None and kb < broadcast_threshold:
+        keys = {
+            r[keys_col or key_col]
+            for r in keys_ds.select_columns([keys_col or key_col]).take_all()
+        }
+        return semi_join_filter(big, keys, key_col)
+    return bucketed_semi_join(big, keys_ds, key_col, keys_col, num_buckets)
+
+
+def anti_join(
+    big: ray.data.Dataset,
+    keys_ds: ray.data.Dataset,
+    key_col: str,
+    keys_col: str | None = None,
+    num_buckets: int | None = None,
+    broadcast_threshold: int = _BROADCAST_THRESHOLD_BYTES,
+) -> ray.data.Dataset:
+    """Anti join with automatic strategy (see ``semi_join``)."""
+    kb = _input_bytes(keys_ds)
+    if kb is not None and kb < broadcast_threshold:
+        keys = {
+            r[keys_col or key_col]
+            for r in keys_ds.select_columns([keys_col or key_col]).take_all()
+        }
+        return anti_join_filter(big, keys, key_col)
+    return bucketed_anti_join(big, keys_ds, key_col, keys_col, num_buckets)
 
 
 def semi_join_filter(

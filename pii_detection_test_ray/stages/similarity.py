@@ -20,6 +20,22 @@ import ray.data
 
 
 def _as_matrix(col) -> np.ndarray:
+    """List<float> column → (n, dim) float64 matrix via the flat values
+    buffer (vectorized; no per-row Python lists). Falls back to to_pylist
+    only for ragged rows."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:
+        import pyarrow.compute as pc
+
+        lengths = pc.list_value_length(col).to_numpy()
+        if len(lengths) and (lengths == lengths[0]).all() and col.null_count == 0:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64, copy=False).reshape(
+                len(col), int(lengths[0])
+            )
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        pass
     return np.asarray(col.to_pylist(), dtype=np.float64)
 
 

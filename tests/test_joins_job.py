@@ -123,3 +123,51 @@ def test_bucketed_anti_join_empty_key_side(ray_session):
     empty = ds.filter(lambda r: False).select_columns(["key"])
     out = bucketed_anti_join(ds, empty, "key", num_buckets=2).take_all()
     assert sorted(r["id"] for r in out) == list(range(10))
+
+
+def test_broadcast_hash_join_duplicate_keys(ray_session):
+    """Broadcast inner join fans out on duplicate build-side keys and
+    preserves declared dtypes."""
+    from pii_detection_test_ray.stages.joins import broadcast_hash_join
+
+    left = ray.data.from_items(
+        [{"k": i % 3, "lv": i} for i in range(9)], override_num_blocks=2
+    )
+    right = ray.data.from_items(
+        [{"k": 0, "rv": 10}, {"k": 0, "rv": 20}, {"k": 1, "rv": 30}],
+        override_num_blocks=1,
+    )
+    out = broadcast_hash_join(left, right, key="k").take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+    expected = sorted(
+        (l % 3, l, rv)
+        for l in range(9)
+        for rv in {0: [10, 20], 1: [30], 2: []}[l % 3]
+    )
+    assert got == expected
+
+
+def test_hash_join_router_strategies_agree(ray_session, tmp_path):
+    """hash_join picks broadcast for tiny file-backed build sides; both
+    strategies return identical row sets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pii_detection_test_ray.stages.joins import bucketed_hash_join, hash_join
+
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    pq.write_table(
+        pa.table({"k": [i % 5 for i in range(40)], "lv": list(range(40))}), lp
+    )
+    pq.write_table(pa.table({"k": [0, 1, 2], "rv": ["a", "b", "c"]}), rp)
+    left = ray.data.read_parquet(lp, override_num_blocks=2)
+    right = ray.data.read_parquet(rp, override_num_blocks=1)
+
+    via_router = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in hash_join(left, right, "k").take_all()
+    )
+    via_bucketed = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in bucketed_hash_join(left, right, "k", num_buckets=4).take_all()
+    )
+    assert via_router == via_bucketed and len(via_router) == 24
