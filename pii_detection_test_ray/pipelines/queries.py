@@ -796,7 +796,9 @@ def synthetic_corpus_dir(n_docs: int = 400, giant_every: int = 0) -> str:
 
     key = (n_docs, giant_every)
     if key not in _SYNTH_CACHE:
-        path = f"/tmp/pdtr_synth_{n_docs}_{giant_every}"
+        from ..sources.corpus import CORPUS_VERSION
+
+        path = f"/tmp/pdtr_synth_v{CORPUS_VERSION}_{n_docs}_{giant_every}"
         marker = os.path.join(path, "_complete")
         if not os.path.exists(marker):
             write_corpus(path, CorpusConfig(n_docs=n_docs, giant_every=giant_every), shards=8)

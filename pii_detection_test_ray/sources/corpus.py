@@ -51,6 +51,10 @@ _FILLER_KO = [
 ]
 
 
+# Bump when generated content changes so path-keyed caches invalidate.
+CORPUS_VERSION = 2
+
+
 @dataclass(frozen=True)
 class CorpusConfig:
     n_docs: int = 360
@@ -110,6 +114,23 @@ def _doc_name(rng):
     nm, role = _name(rng), rng.choice(_ROLES)
     text = f"인사 발령 안내\n\n{role}: {nm}\n소속: 경영지원팀\n직위: 과장\n\n{_fill(rng)}"
     return text, [("이름", nm)], "이름", "EASY"
+
+
+_RARE_SURNAMES = "판 편 탁 빈 옹".split()
+_RARE_GIVEN = "솔비 봄결 별림 솔잎 봄솔".split()
+
+
+def _doc_name_rare(rng):
+    """A REAL but statistically rare name: the label-anchored regex detects
+    it, while the common-name classifier scores it below threshold — the
+    disambiguation/rescue case the hybrid merge strategies exist for
+    (reference: hybrid_analysis.py:330-506). primary_only therefore loses
+    these to FNs and union/backfill recover them, so the merge-policy
+    comparison is non-vacuous on this corpus."""
+    nm = rng.choice(_RARE_SURNAMES) + rng.choice(_RARE_GIVEN)
+    role = rng.choice(_ROLES)
+    text = f"신규 입사자 안내\n\n{role}: {nm}\n부서: 연구개발팀\n\n{_fill(rng)}"
+    return text, [("이름", nm)], "이름", "MEDIUM"
 
 
 def _doc_address(rng):
@@ -282,6 +303,7 @@ def _doc_obfuscated(rng):
 
 _PII_BUILDERS = [
     _doc_name,
+    _doc_name_rare,
     _doc_address,
     _doc_rrn,
     _doc_rrn_masked,

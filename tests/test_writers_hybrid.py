@@ -57,10 +57,18 @@ def test_merge_policy_comparison(rows_and_corpus, small_corpus):
         "cross_validated", "tiered", "strong_else_backfill",
         "account_conditional",
     }
-    # The union with raw regex restores anything the classifier filtered →
-    # union recall ≥ primary_only recall; all policies keep high precision
-    # on this corpus.
-    assert by_policy["union"]["recall"] >= by_policy["primary_only"]["recall"]
+    # The corpus plants rare-surname names the classifier rejects (corpus
+    # family _doc_name_rare), so primary_only LOSES real names and the
+    # union with raw regex restores them — recall strictly improves and the
+    # comparison is non-vacuous. All policies keep high precision here
+    # (the planted rare names are real, so regex has no FP on them).
+    assert by_policy["union"]["recall"] > by_policy["primary_only"]["recall"]
+    # Strategy C treats 이름 as a weak category (never union) → tiered
+    # tracks primary_only, not union, on a corpus whose only divergence
+    # is the name category. Backfill DOES rescue (the classifier empties
+    # the whole category on rare-name docs) → tracks union.
+    assert by_policy["tiered"]["recall"] == by_policy["primary_only"]["recall"]
+    assert by_policy["backfill"]["recall"] == by_policy["union"]["recall"]
     for r in rows:
         assert r["precision"] >= 0.95
         assert r["n_docs"] > 0
