@@ -69,3 +69,107 @@ class HyperLogLog:
         if raw <= 2.5 * self.m and zeros:
             return self.m * math.log(self.m / zeros)  # linear counting
         return raw
+
+
+def _value_hash64(value) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(repr(value).encode(), digest_size=8).digest(), "big"
+    )
+
+
+class HashSampleQuantile:
+    """Approximate quantiles via deterministic distinct-value-hash sampling
+    (Gibbons-style): a value enters the sample iff the low ``bits`` bits of
+    its content hash are zero (probability 2^-bits over DISTINCT values);
+    every occurrence of a sampled value is counted, so the weighted sample
+    is an unbiased slice of the full distribution over a hash-random subset
+    of the value domain.
+
+    Properties that matter for a distributed engine:
+    * mergeable — merge = add the (value → count) maps; associative and
+      commutative, so partition order never matters;
+    * DETERMINISTIC — the sample depends only on value content, never on
+      partitioning or arrival order (the same input split differently gives
+      bit-identical results, unlike reservoir/random sampling).
+    Error shrinks with the sampled-distinct count (≈ 1/√sample for smooth
+    distributions); heavy duplicate mass rides along exactly because full
+    multiplicities are kept."""
+
+    def __init__(self, bits: int = 6) -> None:
+        self.bits = bits
+        self.mask = (1 << bits) - 1
+        self.counts: dict = {}
+
+    def add(self, value, count: int = 1) -> None:
+        if _value_hash64(value) & self.mask == 0:
+            self.counts[value] = self.counts.get(value, 0) + count
+
+    def add_many(self, values) -> None:
+        for v in values:
+            self.add(v)
+
+    def merge(self, other: "HashSampleQuantile") -> "HashSampleQuantile":
+        assert self.bits == other.bits
+        out = HashSampleQuantile(self.bits)
+        out.counts = dict(self.counts)
+        for v, c in other.counts.items():
+            out.counts[v] = out.counts.get(v, 0) + c
+        return out
+
+    def quantile(self, q: float) -> float | None:
+        if not self.counts:
+            return None
+        items = sorted(self.counts.items())
+        total = sum(c for _, c in items)
+        target = q * total
+        acc = 0
+        for v, c in items:
+            acc += c
+            if acc >= target:
+                return float(v)
+        return float(items[-1][0])
+
+
+class MisraGries:
+    """Heavy hitters (frequent items) with k counters — Misra-Gries /
+    Space-Saving family. Mergeable: sum the counter maps, then decrement by
+    the (k+1)-th largest count and drop non-positive counters (standard
+    mergeable-summary construction; per-item count error ≤ n/(k+1) after
+    any merge tree). Use k ≥ several× the number of hitters you care about."""
+
+    def __init__(self, k: int = 16) -> None:
+        self.k = k
+        self.counts: dict = {}
+
+    def add(self, value, count: int = 1) -> None:
+        if value in self.counts:
+            self.counts[value] += count
+        elif len(self.counts) < self.k:
+            self.counts[value] = count
+        else:
+            dec = min(count, min(self.counts.values()))
+            self.counts = {
+                v: c - dec for v, c in self.counts.items() if c - dec > 0
+            }
+            if count - dec > 0:
+                self.counts[value] = count - dec
+
+    def add_many(self, values) -> None:
+        for v in values:
+            self.add(v)
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        assert self.k == other.k
+        out = MisraGries(self.k)
+        combined = dict(self.counts)
+        for v, c in other.counts.items():
+            combined[v] = combined.get(v, 0) + c
+        if len(combined) > self.k:
+            cutoff = sorted(combined.values(), reverse=True)[self.k]
+            combined = {v: c - cutoff for v, c in combined.items() if c > cutoff}
+        out.counts = combined
+        return out
+
+    def top(self, n: int) -> list[tuple]:
+        """(value, lower-bound count) pairs, count desc then value asc."""
+        return sorted(self.counts.items(), key=lambda kv: (-kv[1], str(kv[0])))[:n]

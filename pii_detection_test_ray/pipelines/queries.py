@@ -723,6 +723,58 @@ def q_acctbal_sign_stats(sf_dir: str) -> ray.data.Dataset:
     return _rename(agg, {"bal_cents": "total_bal_cents"})
 
 
+def q_events_asof_orders(sf_dir: str) -> ray.data.Dataset:
+    """As-of join (custom operator — Ray Data and the reference both lack
+    it): each event joins its user's LATEST order at-or-before the event
+    time, rolled up by that order's priority. The right side is deduped to
+    one row per (custkey, orderdate) first (max orderkey wins) so the
+    at-equal-timestamp winner is deterministic cross-engine — DuckDB's
+    ASOF JOIN tie-break is unspecified."""
+    from ..stages.asof import asof_join, latest_per_key_ts
+    from ..stages.shuffle import partial_groupby_sum
+
+    events = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep_e(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(
+            _round(pc.multiply(batch.column("value"), 1_000_000.0), 0), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": pc.cast(batch.column("ts"), pa.timestamp("us")),
+                "value_micros": micros,
+            }
+        )
+
+    orders = _rename(
+        _read(
+            sf_dir, "orders",
+            ["o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"],
+        ),
+        {"o_custkey": "user_id"},
+    )
+    latest = latest_per_key_ts(
+        orders, "user_id", "o_orderdate", "o_orderkey"
+    ).drop_columns(["o_orderkey"])
+
+    joined = asof_join(
+        events.map_batches(prep_e, batch_format="pyarrow"),
+        latest,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        inner=True,
+    )
+    agg = partial_groupby_sum(
+        joined.select_columns(["o_orderpriority", "value_micros"]),
+        ["o_orderpriority"],
+        ["value_micros"],
+        count_as="n_events",
+    )
+    return _rename(agg, {"value_micros": "total_value_micros"})
+
+
 def q_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
     """HLL approximate distinct users per event type (mergeable-sketch
     combiner; rows-only — accuracy asserted against the exact count in
@@ -731,6 +783,25 @@ def q_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     return approx_distinct_per_key(ds, "event_type", "user_id", p=12)
+
+
+def q_value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Approximate per-event-type value quantiles via the deterministic
+    mergeable hash-sample sketch (rows-only; accuracy vs exact asserted in
+    tests/test_sketch_registry.py)."""
+    from ..stages.sketch_agg import approx_quantiles_per_key
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return approx_quantiles_per_key(ds, "event_type", "value", qs=(0.5, 0.95))
+
+
+def q_heavy_hitter_users(sf_dir: str) -> ray.data.Dataset:
+    """Top-5 most frequent users per event type via mergeable Misra-Gries
+    summaries (rows-only; guarantees asserted in tests)."""
+    from ..stages.sketch_agg import heavy_hitters_per_key
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return heavy_hitters_per_key(ds, "event_type", "user_id", k=64, top_n=5)
 
 
 def q_events_windowed(sf_dir: str) -> ray.data.Dataset:
@@ -1070,7 +1141,10 @@ QUERIES = {
     "top_spenders": q_top_spenders,
     "events_span": q_events_span,
     "acctbal_sign_stats": q_acctbal_sign_stats,
+    "events_asof_orders": q_events_asof_orders,
     "approx_distinct_users": q_approx_distinct_users,
+    "value_quantiles": q_value_quantiles,
+    "heavy_hitter_users": q_heavy_hitter_users,
     "events_windowed": q_events_windowed,
     "sessionize": q_sessionize,
     "top_docs_per_lang": q_top_docs_per_lang,

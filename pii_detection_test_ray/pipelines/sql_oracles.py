@@ -192,6 +192,27 @@ ORACLES: dict[str, str] = {
         FROM customer
         GROUP BY 1
     """,
+    "events_asof_orders": """
+        WITH o1 AS (
+            SELECT o_custkey, o_orderdate, o_orderpriority
+            FROM (
+                SELECT o_custkey, o_orderdate, o_orderpriority,
+                       row_number() OVER (
+                           PARTITION BY o_custkey, o_orderdate
+                           ORDER BY o_orderkey DESC
+                       ) AS rn
+                FROM orders
+            )
+            WHERE rn = 1
+        )
+        SELECT o1.o_orderpriority,
+               CAST(sum(CAST(round(e.value * 1000000, 0) AS BIGINT)) AS BIGINT)
+                   AS total_value_micros,
+               count(*) AS n_events
+        FROM events e
+        ASOF JOIN o1 ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+        GROUP BY o1.o_orderpriority
+    """,
     "events_rollup": """
         SELECT event_type,
                count(*) AS n_events,

@@ -1,0 +1,91 @@
+"""As-of join vs an in-process brute-force reference."""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+import ray.data
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _sides(seed=5, n_left=200, n_right=40, n_keys=6):
+    rng = random.Random(seed)
+    base = datetime(2024, 1, 1)
+    left = [
+        {"k": rng.randint(0, n_keys - 1),
+         "t": base + timedelta(minutes=rng.randint(0, 5000)), "lv": i}
+        for i in range(n_left)
+    ]
+    right, seen = [], set()
+    for i in range(n_right):
+        r = {"k": rng.randint(0, n_keys - 1),
+             "t2": base + timedelta(minutes=rng.randint(0, 5000)), "rv": f"r{i}"}
+        if (r["k"], r["t2"]) not in seen:  # unique per (key, ts): determinism
+            seen.add((r["k"], r["t2"]))
+            right.append(r)
+    return left, right
+
+
+def _brute(left, right, inner):
+    out = []
+    for l in left:
+        cands = [r for r in right if r["k"] == l["k"] and r["t2"] <= l["t"]]
+        if cands:
+            best = max(cands, key=lambda r: r["t2"])
+            out.append((l["k"], l["lv"], best["rv"]))
+        elif not inner:
+            out.append((l["k"], l["lv"], None))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("inner", [True, False])
+def test_asof_join_matches_bruteforce(ray_session, inner):
+    from pii_detection_test_ray.stages.asof import asof_join
+
+    left, right = _sides()
+    lds = ray.data.from_items(left, override_num_blocks=3)
+    rds = ray.data.from_items(right, override_num_blocks=2)
+    got = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in asof_join(lds, rds, "k", "t", "t2", inner=inner).take_all()
+    )
+    assert got == _brute(left, right, inner)
+
+
+def test_asof_join_key_without_right_rows(ray_session):
+    """Keys that never appear on the right: dropped under inner, null under
+    left join."""
+    from pii_detection_test_ray.stages.asof import asof_join
+
+    base = datetime(2024, 1, 1)
+    left = [{"k": 1, "t": base, "lv": 0}, {"k": 2, "t": base, "lv": 1}]
+    right = [{"k": 1, "t2": base - timedelta(hours=1), "rv": "x"}]
+    lds = ray.data.from_items(left, override_num_blocks=1)
+    rds = ray.data.from_items(right, override_num_blocks=1)
+    inner = asof_join(lds, rds, "k", "t", "t2", inner=True).take_all()
+    assert [(r["k"], r["rv"]) for r in inner] == [(1, "x")]
+    outer = sorted(
+        (r["k"], r["rv"])
+        for r in asof_join(lds, rds, "k", "t", "t2", inner=False).take_all()
+    )
+    assert outer == [(1, "x"), (2, None)]
+
+
+def test_latest_per_key_ts(ray_session):
+    from pii_detection_test_ray.stages.asof import latest_per_key_ts
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        {"k": 1, "t": base, "id": 10, "v": "a"},
+        {"k": 1, "t": base, "id": 30, "v": "b"},  # max id wins
+        {"k": 1, "t": base + timedelta(days=1), "id": 20, "v": "c"},
+    ]
+    ds = ray.data.from_items(rows, override_num_blocks=2)
+    got = sorted(
+        (r["k"], r["t"], r["v"])
+        for r in latest_per_key_ts(ds, "k", "t", "id").take_all()
+    )
+    assert [g[2] for g in got] == ["b", "c"]

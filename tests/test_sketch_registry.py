@@ -99,3 +99,61 @@ class TestRegistry:
             read_pages(f"{small_corpus}/documents"), config
         ).take_all()
         assert out and all(not r["keep"] for r in out)
+
+
+class TestQuantileSketch:
+    def test_accuracy_and_partition_invariance(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from pii_detection_test_ray.stages.sketch_agg import approx_quantiles_per_key
+
+        rng = np.random.RandomState(11)
+        vals = rng.uniform(0, 100, size=20000)
+        rows = [{"k": "a", "v": float(v)} for v in vals]
+        results = []
+        for blocks in (2, 7):
+            ds = ray.data.from_items(rows, override_num_blocks=blocks)
+            out = approx_quantiles_per_key(ds, "k", "v", qs=(0.5, 0.95)).take_all()
+            results.append({(r["k"]): (r["q50"], r["q95"]) for r in out})
+        # deterministic: identical output regardless of partitioning
+        assert results[0] == results[1]
+        q50, q95 = results[0]["a"]
+        assert abs(q50 - np.quantile(vals, 0.5)) < 5.0   # 5% of range
+        assert abs(q95 - np.quantile(vals, 0.95)) < 5.0
+
+    def test_merge_is_add(self):
+        from pii_detection_test_ray.functions.sketches import HashSampleQuantile
+
+        a, b, c = (HashSampleQuantile(bits=2) for _ in range(3))
+        xs = list(range(1000))
+        a.add_many(xs[:500]); b.add_many(xs[500:]); c.add_many(xs)
+        assert a.merge(b).counts == c.counts
+
+
+class TestHeavyHitters:
+    def test_true_hitters_present(self, ray_session):
+        import ray.data
+
+        from pii_detection_test_ray.stages.sketch_agg import heavy_hitters_per_key
+
+        rows = []
+        # two dominant users + noise tail
+        rows += [{"k": "t", "u": 1} for _ in range(400)]
+        rows += [{"k": "t", "u": 2} for _ in range(300)]
+        rows += [{"k": "t", "u": 100 + i % 50} for i in range(300)]
+        ds = ray.data.from_items(rows, override_num_blocks=4)
+        out = heavy_hitters_per_key(ds, "k", "u", k=32, top_n=3).take_all()
+        hitters = out[0]["hitters"]
+        assert hitters[0] == "1" and hitters[1] == "2"
+        # MG lower bound never exceeds the true count
+        assert out[0]["hitter_counts"][0] <= 400
+
+    def test_mg_error_bound(self):
+        from pii_detection_test_ray.functions.sketches import MisraGries
+
+        mg = MisraGries(k=10)
+        stream = [0] * 500 + list(range(1, 401))  # n=900, hitter=0
+        mg.add_many(stream)
+        # true count 500; error ≤ n/(k+1) ≈ 82
+        assert mg.counts.get(0, 0) >= 500 - 900 // 11 - 1
