@@ -20,7 +20,21 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "24000"))
+# 96k docs ≈ 6-15 s of steady-state streaming at 32 CPUs: large enough that
+# the ~2 s actor spin-up does not dominate (the regime a 100 TB job runs in).
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "96000"))
+
+
+def _probe_work(n: int) -> str:
+    """Pure-CPU unit of the host probe (module-level: multiprocessing must
+    pickle it)."""
+    import hashlib
+
+    h = hashlib.blake2b()
+    x = b"abcdefgh" * 128
+    for _ in range(n):
+        h.update(x)
+    return h.hexdigest()
 
 
 def _init_ray(num_cpus: int) -> None:
@@ -59,14 +73,20 @@ def run_flagship(num_cpus: int) -> dict:
     corpus = bench_corpus_dir()
     out_dir = f"/tmp/pdtr_bench_out_{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    # Tuned at 32 CPUs: few full-CPU actors per model pool + 512-row batches
-    # beat many fractional actors (scheduling overhead) ~4x.
-    pool = max(2, num_cpus // 4)
+    # Pools sized to the stages' measured CPU shares (extract+models ≈ 28s,
+    # quality+scrub+classify ≈ 63s per 96k docs): ~3/16 of CPUs to the fused
+    # model pool, ~5/8 to the classifier-side pool, remainder for read/write
+    # tasks. Round-2 profiling: the old (n/4, n/8) split left the scrub
+    # stage bottlenecked on 4 actors at 32 CPUs (3.4k docs/s); this split
+    # measures 12-14k docs/s there. Full-CPU actors; fractional many-actor
+    # configs measured ~4x worse in round 1.
+    pool = max(2, round(num_cpus * 3 / 16))
+    cls = max(2, round(num_cpus * 5 / 8))
     opts = PipelineOptions(
         batch_size=512,
         langid_actors=(pool, pool),
         ppl_actors=(pool, pool),
-        classifier_actors=(max(1, pool // 2), max(1, pool // 2)),
+        classifier_actors=(cls, cls),
         actor_num_cpus=1.0,
         fuse_model_stages=True,
     )
@@ -202,10 +222,10 @@ def main() -> None:
         return
 
     if "--scaling" in sys.argv:
-        # A corpus large enough that per-session fixed overhead (~5 s of
+        # A corpus large enough that per-session fixed overhead (~2 s of
         # worker/actor spin-up) is small against compute at both CPU levels —
         # the in-sandbox stand-in for N vs 4N nodes at 10^12-doc scale.
-        os.environ["BENCH_DOCS"] = os.environ.get("BENCH_SCALING_DOCS", "96000")
+        os.environ["BENCH_DOCS"] = os.environ.get("BENCH_SCALING_DOCS", "192000")
         global BENCH_DOCS
         BENCH_DOCS = int(os.environ["BENCH_DOCS"])
         # Ensure the corpus cache exists before timing children.
@@ -227,12 +247,36 @@ def main() -> None:
                 raise RuntimeError(f"scaling child (cpus={n}) failed")
             return json.loads(line[len("CHILD_RESULT "):])
 
+        def host_probe() -> dict:
+            """What the HOST delivers from 8 → 32 worker processes on pure
+            CPU work (blake2b hashing, no Ray, no Python-level contention).
+            On this shared box co-tenant steal caps ANY 32-process workload
+            well below 4× of 8 processes; reporting the probe next to the
+            engine's speedup separates engine overhead from host ceiling."""
+            import multiprocessing as mp
+
+            def best_of(nproc, attempts=2, tasks=128, n=40000):
+                best = float("inf")
+                for _ in range(attempts):
+                    with mp.Pool(nproc) as pool:
+                        t0 = time.time()
+                        pool.map(_probe_work, [n] * tasks)
+                        best = min(best, time.time() - t0)
+                return best
+
+            t8, t32 = best_of(8), best_of(32)
+            return {
+                "probe_wall_8": round(t8, 3),
+                "probe_wall_32": round(t32, 3),
+                "probe_speedup": round(t8 / t32, 2),
+            }
+
         # This sandbox shares the host with other load and single runs
         # jitter ~2×. Run each CPU level N times and take each level's BEST
         # throughput — the least load-contaminated estimate of that level's
         # true capacity (pairing one slow child with one fast child would
         # fabricate super- or sub-linear scaling).
-        n_runs = int(os.environ.get("BENCH_SCALING_PAIRS", "2"))
+        n_runs = int(os.environ.get("BENCH_SCALING_PAIRS", "3"))
         runs = {8: [], 32: []}
         for _ in range(n_runs):
             for n in (8, 32):
@@ -240,6 +284,7 @@ def main() -> None:
         best = {n: max(rs, key=lambda r: r["docs_per_sec"]) for n, rs in runs.items()}
         speedup = best[32]["docs_per_sec"] / best[8]["docs_per_sec"]
         efficiency = speedup / (32 / 8)
+        probe = host_probe()
         print(json.dumps({
             "metric": "flagship scaling 8→32 cpus",
             "value": round(efficiency, 3),
@@ -254,6 +299,12 @@ def main() -> None:
             "all_runs": {
                 str(n): [r["docs_per_sec"] for r in rs] for n, rs in runs.items()
             },
+            # Host context: pure-CPU multiprocessing speedup 8→32 procs on
+            # this box right now. efficiency_vs_host = engine speedup as a
+            # fraction of what the host physically delivered.
+            **probe,
+            "efficiency_vs_host": round(speedup / probe["probe_speedup"], 3)
+            if probe["probe_speedup"] > 0 else None,
         }))
         return
 

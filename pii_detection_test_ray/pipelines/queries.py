@@ -775,6 +775,36 @@ def q_events_asof_orders(sf_dir: str) -> ray.data.Dataset:
     return _rename(agg, {"value_micros": "total_value_micros"})
 
 
+def q_value_bands(sf_dir: str) -> ray.data.Dataset:
+    """Range join (banding) shape: events classified into value bands via
+    the broadcast interval-lookup join, rolled up per band."""
+    from ..stages.joins import interval_lookup_join
+    from ..stages.shuffle import partial_groupby_sum
+
+    ds = _read(sf_dir, "events", ["value"])
+    bands = [
+        ("b0_10", 0.0, 10.0),
+        ("b10_50", 10.0, 50.0),
+        ("b50_100", 50.0, 100.0),
+        ("b100_1000", 100.0, 1000.0),
+    ]
+    banded = interval_lookup_join(ds, "value", bands)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(
+            _round(pc.multiply(batch.column("value"), 1_000_000.0), 0), pa.int64()
+        )
+        return pa.table({"band": batch.column("band"), "value_micros": micros})
+
+    agg = partial_groupby_sum(
+        banded.map_batches(prep, batch_format="pyarrow"),
+        ["band"],
+        ["value_micros"],
+        count_as="n_events",
+    )
+    return _rename(agg, {"value_micros": "total_value_micros"})
+
+
 def q_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
     """HLL approximate distinct users per event type (mergeable-sketch
     combiner; rows-only — accuracy asserted against the exact count in
@@ -1142,6 +1172,7 @@ QUERIES = {
     "events_span": q_events_span,
     "acctbal_sign_stats": q_acctbal_sign_stats,
     "events_asof_orders": q_events_asof_orders,
+    "value_bands": q_value_bands,
     "approx_distinct_users": q_approx_distinct_users,
     "value_quantiles": q_value_quantiles,
     "heavy_hitter_users": q_heavy_hitter_users,

@@ -213,6 +213,21 @@ ORACLES: dict[str, str] = {
         ASOF JOIN o1 ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
         GROUP BY o1.o_orderpriority
     """,
+    "value_bands": """
+        WITH bands(band, lo, hi) AS (
+            VALUES ('b0_10', 0.0, 10.0),
+                   ('b10_50', 10.0, 50.0),
+                   ('b50_100', 50.0, 100.0),
+                   ('b100_1000', 100.0, 1000.0)
+        )
+        SELECT b.band,
+               CAST(sum(CAST(round(e.value * 1000000, 0) AS BIGINT)) AS BIGINT)
+                   AS total_value_micros,
+               count(*) AS n_events
+        FROM events e
+        JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band
+    """,
     "events_rollup": """
         SELECT event_type,
                count(*) AS n_events,

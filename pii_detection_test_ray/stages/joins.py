@@ -305,6 +305,42 @@ def bucketed_anti_join(
     )
 
 
+def interval_lookup_join(
+    big: ray.data.Dataset,
+    value_col: str,
+    intervals: list[tuple],
+    label_col: str = "band",
+) -> ray.data.Dataset:
+    """Range join against a small interval table: each row gets the label of
+    the half-open ``[lo, hi)`` interval containing ``value_col``; rows
+    outside every interval drop (inner semantics). ``intervals`` is a list
+    of (label, lo, hi), non-overlapping. The band side is broadcast (it is
+    a dim table by construction) and the probe is one vectorized
+    ``np.searchsorted`` per batch — zero shuffle, the scale-correct plan
+    for the banding/range-join shape."""
+    import numpy as np
+
+    ivs = sorted(intervals, key=lambda t: t[1])
+    for (_, _, hi_a), (_, lo_b, _) in zip(ivs, ivs[1:]):
+        if lo_b < hi_a:
+            raise ValueError("intervals overlap")
+    labels = [t[0] for t in ivs]
+    los = np.asarray([t[1] for t in ivs], dtype=np.float64)
+    his = np.asarray([t[2] for t in ivs], dtype=np.float64)
+    state = ray.put((labels, los, his))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        lab, lo, hi = ray.get(state)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lo, vals, side="right") - 1
+        valid = (idx >= 0) & (vals < hi[np.clip(idx, 0, len(hi) - 1)])
+        kept = batch.filter(pa.array(valid))
+        band = pa.array([lab[i] for i in idx[valid]], pa.string())
+        return kept.append_column(label_col, band)
+
+    return big.map_batches(probe, batch_format="pyarrow")
+
+
 def semi_join(
     big: ray.data.Dataset,
     keys_ds: ray.data.Dataset,

@@ -171,3 +171,22 @@ def test_hash_join_router_strategies_agree(ray_session, tmp_path):
         for r in bucketed_hash_join(left, right, "k", num_buckets=4).take_all()
     )
     assert via_router == via_bucketed and len(via_router) == 24
+
+
+def test_interval_lookup_join(ray_session):
+    from pii_detection_test_ray.stages.joins import interval_lookup_join
+
+    rows = [{"v": float(v)} for v in (0.5, 5, 10, 25, 99.9, 100, 250, -3)]
+    ds = ray.data.from_items(rows, override_num_blocks=2)
+    bands = [("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1000.0)]
+    out = sorted(
+        (r["v"], r["band"])
+        for r in interval_lookup_join(ds, "v", bands).take_all()
+    )
+    # -3 is outside every interval and drops; boundaries are [lo, hi)
+    assert out == [
+        (0.5, "low"), (5.0, "low"), (10.0, "mid"), (25.0, "mid"),
+        (99.9, "mid"), (100.0, "high"), (250.0, "high"),
+    ]
+    with pytest.raises(ValueError):
+        interval_lookup_join(ds, "v", [("a", 0.0, 10.0), ("b", 5.0, 20.0)])
