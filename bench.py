@@ -73,23 +73,10 @@ def run_flagship(num_cpus: int) -> dict:
     corpus = bench_corpus_dir()
     out_dir = f"/tmp/pdtr_bench_out_{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    # Pools sized to the stages' measured CPU shares (extract+models ≈ 28s,
-    # quality+scrub+classify ≈ 63s per 96k docs): ~3/16 of CPUs to the fused
-    # model pool, ~5/8 to the classifier-side pool, remainder for read/write
-    # tasks. Round-2 profiling: the old (n/4, n/8) split left the scrub
-    # stage bottlenecked on 4 actors at 32 CPUs (3.4k docs/s); this split
-    # measures 12-14k docs/s there. Full-CPU actors; fractional many-actor
-    # configs measured ~4x worse in round 1.
-    pool = max(2, round(num_cpus * 3 / 16))
-    cls = max(2, round(num_cpus * 5 / 8))
-    opts = PipelineOptions(
-        batch_size=512,
-        langid_actors=(pool, pool),
-        ppl_actors=(pool, pool),
-        classifier_actors=(cls, cls),
-        actor_num_cpus=1.0,
-        fuse_model_stages=True,
-    )
+    # Throughput-tuned pool split lives in the library (PipelineOptions.auto:
+    # model pool ≈ 3/16 of CPUs, classifier ≈ 5/8 — sized to stage CPU
+    # shares; see its docstring for the fusion bottleneck this avoids).
+    opts = PipelineOptions.auto(num_cpus)
     # Untimed warmups: spin up the Ray worker pool, then one full (unwritten)
     # pipeline pass so actor-pool spawn, imports and page cache are warm —
     # the timed run measures steady-state streaming throughput, which is the

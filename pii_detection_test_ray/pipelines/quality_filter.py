@@ -55,6 +55,40 @@ class PipelineOptions:
     keep_html: bool = False
     quality: QualityConfig = QualityConfig()
 
+    @classmethod
+    def auto(cls, num_cpus: int | None = None) -> "PipelineOptions":
+        """Throughput-tuned options for the current cluster size.
+
+        Pools are sized to the stages' measured CPU shares (extract+models
+        ≈ 30%, quality+scrub+classify ≈ 70% of pipeline CPU): the fused
+        model pool gets ~3/16 of CPUs and the classifier-side pool ~5/8,
+        leaving the rest for read/write tasks. Ray fuses the stateless
+        scrub/quality stages INTO the classifier actor pool, so an
+        undersized classifier pool silently caps ~2/3 of the pipeline —
+        the bottleneck the default (1, 4) range hits at 32 CPUs.
+        Small clusters (≤ 4 CPUs, e.g. test sessions) keep the fractional
+        shared-CPU defaults: whole-CPU pool minimums there can reserve
+        every core and starve the read tasks."""
+        if num_cpus is None:
+            try:
+                import ray
+
+                num_cpus = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:
+                num_cpus = 8
+        if num_cpus <= 4:
+            return cls()
+        pool = max(2, round(num_cpus * 3 / 16))
+        clsf = max(2, round(num_cpus * 5 / 8))
+        return cls(
+            batch_size=512,
+            langid_actors=(pool, pool),
+            ppl_actors=(pool, pool),
+            classifier_actors=(clsf, clsf),
+            actor_num_cpus=1.0,
+            fuse_model_stages=True,
+        )
+
 
 def read_pages(input_path: str | list[str]) -> ray.data.Dataset:
     """Read the input table with column pruning: the pipeline recomputes

@@ -93,3 +93,16 @@ def test_resumable_run(ray_session, small_corpus, tmp_path):
     os.remove(f"{out}/_lineage/{victim}")
     res3 = resumable_run(files, out, build_pipeline, group_size=2)
     assert sum(1 for r in res3 if not r.skipped) == 1
+
+
+def test_pipeline_options_auto():
+    from pii_detection_test_ray.pipelines.quality_filter import PipelineOptions
+
+    small = PipelineOptions.auto(num_cpus=4)
+    assert small == PipelineOptions()  # small clusters keep shared-CPU defaults
+    big = PipelineOptions.auto(num_cpus=32)
+    assert big.langid_actors == (6, 6)
+    assert big.classifier_actors == (20, 20)
+    assert big.actor_num_cpus == 1.0 and big.fuse_model_stages
+    mid = PipelineOptions.auto(num_cpus=8)
+    assert mid.langid_actors == (2, 2) and mid.classifier_actors == (5, 5)
