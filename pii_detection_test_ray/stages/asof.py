@@ -46,6 +46,14 @@ def asof_join(
     """Columns out = left's ∪ right's value columns (right's key/ts drop).
     ``inner=False`` keeps unmatched left rows with nulls (ASOF LEFT JOIN)."""
     l_schema, r_schema = left.schema(), right.schema()
+    # A dataset can be empty AND schema-less (e.g. a row-filter that dropped
+    # everything): degrade gracefully instead of crashing on .names.
+    if l_schema is None:
+        return left  # no left rows → no output rows
+    if r_schema is None:
+        # No right rows: inner join is empty; left join passes rows through
+        # (the right value columns are untyped-unknowable here, so omitted).
+        return left.limit(0) if inner else left
     left_cols = list(l_schema.names)
     r_value_cols = [c for c in r_schema.names if c not in (key, right_ts)]
     overlap = set(left_cols) & set(r_value_cols)

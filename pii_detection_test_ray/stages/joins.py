@@ -87,6 +87,12 @@ def bucketed_hash_join(
     if num_buckets is None:
         num_buckets = _auto_num_buckets(left, right)
     l_schema, r_schema = left.schema(), right.schema()
+    # Empty-and-schema-less side (a row-filter dropped everything): inner
+    # join degrades to an empty result instead of crashing on .names.
+    if l_schema is None:
+        return left
+    if r_schema is None:
+        return left.limit(0)
     left_cols = list(l_schema.names)
     right_cols = list(r_schema.names)
     overlap = (set(left_cols) & set(right_cols)) - {key}
@@ -162,6 +168,8 @@ def broadcast_hash_join(
     preserves declared column types. Use only when the right side is known
     small — ``hash_join`` routes here below the broadcast threshold."""
     r_schema = right.schema()
+    if right.schema() is None:  # schema-less ⇒ no build rows ⇒ inner join ∅
+        return left.limit(0)
     right_cols = [c for c in r_schema.names if c != key]
     right_types = {
         n: t for n, t in zip(r_schema.names, r_schema.types) if n != key
@@ -225,6 +233,10 @@ def _bucketed_membership_join(
     if num_buckets is None:
         num_buckets = _auto_num_buckets(big, keys_ds)
     keys_col = keys_col or key_col
+    if big.schema() is None:  # schema-less ⇒ empty big side
+        return big
+    if keys_ds.schema() is None:  # schema-less ⇒ no filter keys
+        return big if anti else big.limit(0)
     big_cols = list(big.schema().names)
     if "__is_key" in big_cols:
         raise ValueError("big side already has reserved column __is_key")

@@ -82,3 +82,64 @@ class TestLineageStaleness:
                             os.path.join(out, part, f)
                         ).metadata.num_rows
         assert total_out == 40
+
+
+class TestJoinOperatorEdges:
+    """Empty/degenerate inputs through the round-2 join operators."""
+
+    def test_asof_join_empty_left(self, ray_session):
+        import ray.data
+
+        from pii_detection_test_ray.stages.asof import asof_join
+        from datetime import datetime
+
+        base = datetime(2024, 1, 1)
+        left = ray.data.from_items(
+            [{"k": 1, "t": base, "lv": 0}], override_num_blocks=1
+        ).filter(lambda r: False)
+        right = ray.data.from_items(
+            [{"k": 1, "t2": base, "rv": "x"}], override_num_blocks=1
+        )
+        assert asof_join(left, right, "k", "t", "t2").take_all() == []
+
+    def test_interval_join_empty_input(self, ray_session):
+        import ray.data
+
+        from pii_detection_test_ray.stages.joins import interval_lookup_join
+
+        ds = ray.data.from_items(
+            [{"v": 1.0}], override_num_blocks=1
+        ).filter(lambda r: False)
+        out = interval_lookup_join(ds, "v", [("a", 0.0, 10.0)]).take_all()
+        assert out == []
+
+    def test_bucketed_hash_join_no_matches(self, ray_session):
+        import ray.data
+
+        from pii_detection_test_ray.stages.joins import bucketed_hash_join
+
+        left = ray.data.from_items([{"k": 1, "lv": 1}], override_num_blocks=1)
+        right = ray.data.from_items([{"k": 2, "rv": 2}], override_num_blocks=1)
+        assert bucketed_hash_join(left, right, "k", num_buckets=2).take_all() == []
+
+    def test_broadcast_hash_join_empty_right(self, ray_session):
+        import ray.data
+
+        from pii_detection_test_ray.stages.joins import broadcast_hash_join
+
+        left = ray.data.from_items([{"k": 1, "lv": 1}], override_num_blocks=1)
+        right = ray.data.from_items(
+            [{"k": 1, "rv": 2}], override_num_blocks=1
+        ).filter(lambda r: False)
+        assert broadcast_hash_join(left, right, "k").take_all() == []
+
+    def test_bucketed_semi_join_empty_big(self, ray_session):
+        import ray.data
+
+        from pii_detection_test_ray.stages.joins import bucketed_semi_join
+
+        big = ray.data.from_items(
+            [{"k": 1, "v": 1}], override_num_blocks=1
+        ).filter(lambda r: False)
+        keys = ray.data.from_items([{"k": 1}], override_num_blocks=1)
+        assert bucketed_semi_join(big, keys, "k", num_buckets=2).take_all() == []

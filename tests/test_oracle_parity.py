@@ -19,7 +19,8 @@ pytestmark = [
 ]
 
 # Fast, shape-diverse slice: combiner groupby, salted dedup, row-wise map,
-# wide agg + filter, per-key sessionization, ANN top-k.
+# wide agg + filter, per-key sessionization, ANN top-k, as-of join, range
+# join, exact count-distinct, temporal rollup.
 QUERY_SLICE = [
     "lang_profile",
     "dedup_exact",
@@ -28,6 +29,10 @@ QUERY_SLICE = [
     "sessionize",
     "knn_cosine",
     "parts_by_brand",
+    "events_asof_orders",
+    "value_bands",
+    "events_rollup",
+    "orders_by_month",
 ]
 
 
