@@ -28,7 +28,11 @@ def main() -> None:
     parser.add_argument("--output", required=True, help="output directory (partitioned, resumable)")
     parser.add_argument("--group-size", type=int, default=16, help="input shards per lineage unit")
     parser.add_argument("--batch-size", type=int, default=512)
-    parser.add_argument("--actors-per-model-stage", type=int, default=8)
+    parser.add_argument(
+        "--actors-per-model-stage", type=int, default=0,
+        help="0 (default) = auto-size pools to the cluster CPU count "
+             "(PipelineOptions.auto); >0 = fixed manual sizing",
+    )
     parser.add_argument("--kept-only", action="store_true", help="write only keep=True rows")
     args = parser.parse_args()
 
@@ -44,17 +48,28 @@ def main() -> None:
     )
     from pii_detection_test_ray.state.lineage import resumable_run
 
-    opts = PipelineOptions(
-        batch_size=args.batch_size,
-        langid_actors=(args.actors_per_model_stage, args.actors_per_model_stage),
-        ppl_actors=(args.actors_per_model_stage, args.actors_per_model_stage),
-        classifier_actors=(
-            max(1, args.actors_per_model_stage // 2),
-            max(1, args.actors_per_model_stage // 2),
-        ),
-        actor_num_cpus=1.0,
-        fuse_model_stages=True,
-    )
+    if args.actors_per_model_stage <= 0:
+        auto = PipelineOptions.auto()
+        opts = PipelineOptions(
+            batch_size=args.batch_size,
+            langid_actors=auto.langid_actors,
+            ppl_actors=auto.ppl_actors,
+            classifier_actors=auto.classifier_actors,
+            actor_num_cpus=auto.actor_num_cpus,
+            fuse_model_stages=auto.fuse_model_stages,
+        )
+    else:
+        opts = PipelineOptions(
+            batch_size=args.batch_size,
+            langid_actors=(args.actors_per_model_stage, args.actors_per_model_stage),
+            ppl_actors=(args.actors_per_model_stage, args.actors_per_model_stage),
+            classifier_actors=(
+                max(1, args.actors_per_model_stage // 2),
+                max(1, args.actors_per_model_stage // 2),
+            ),
+            actor_num_cpus=1.0,
+            fuse_model_stages=True,
+        )
 
     def pipeline(files: list[str]):
         ds = build_pipeline(files, opts)
