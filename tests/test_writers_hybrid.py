@@ -132,3 +132,33 @@ def test_write_report_and_charts(rows_and_corpus, tmp_path):
     }
     spec = _json.load(open(f"{out}/charts/f1_by_category.json", encoding="utf-8"))
     assert len(spec["labels"]) == 12 and len(spec["values"]) == 12
+
+
+def test_streaming_consumers(rows_and_corpus, tmp_path):
+    """iter_batches-based consumers: bounded-memory summary, JSONL export,
+    and the generic per-batch hook, all over the flagship output."""
+    import io
+
+    from pii_detection_test_ray.pipelines.consume import (
+        stream_foreach_batch,
+        stream_jsonl,
+        stream_summary,
+    )
+
+    ds, _ = rows_and_corpus
+    summary = stream_summary(ds, batch_size=32)
+    assert summary["n_docs"] == 160
+    assert summary["n_kept"] + summary["n_dropped"] == summary["n_docs"]
+    assert summary["total_pii_spans"] > 0
+    assert "ko" in summary["docs_by_lang"]
+
+    buf = io.StringIO()
+    n = stream_jsonl(ds, buf, columns=["url", "keep"], batch_size=64)
+    lines = [l for l in buf.getvalue().splitlines() if l]
+    assert n == 160 and len(lines) == 160
+    first = json.loads(lines[0])
+    assert set(first) == {"url", "keep"}
+
+    seen = []
+    rows = stream_foreach_batch(ds, lambda b: seen.append(b.num_rows), batch_size=50)
+    assert rows == 160 and sum(seen) == 160 and max(seen) <= 50
