@@ -242,6 +242,19 @@ def q_deterministic_sample(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(sample, batch_format="pyarrow")
 
 
+def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Per-language deterministic downsampling (keep ~25% of Korean docs,
+    ~6.25% of everything else) — the corpus-curation rebalancing move,
+    hash-based so it is reproducible and SQL-verifiable."""
+    from ..stages.sampling import stratified_hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    kept = stratified_hash_sample(
+        ds, "lang", "text", rates={"ko": 0.25}, default_rate=0.0625
+    )
+    return kept.select_columns(["lang", "doc_id"])
+
+
 def q_top_longest(sf_dir: str) -> ray.data.Dataset:
     """Sort + limit (O1/O2 shape): 20 longest docs."""
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
@@ -1156,6 +1169,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "symbol_stats": q_symbol_stats,
     "deterministic_sample": q_deterministic_sample,
+    "stratified_sample": q_stratified_sample,
     "top_longest": q_top_longest,
     "lineitem_rollup": q_lineitem_rollup,
     "orders_by_segment": q_orders_by_segment,

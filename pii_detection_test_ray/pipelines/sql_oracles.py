@@ -81,6 +81,12 @@ ORACLES: dict[str, str] = {
         FROM documents
         WHERE md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) LIKE '0%'
     """,
+    "stratified_sample": """
+        SELECT lang, doc_id
+        FROM documents
+        WHERE substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 4)
+              < CASE WHEN lang = 'ko' THEN '4000' ELSE '1000' END
+    """,
     "top_longest": """
         SELECT doc_id, n_chars
         FROM documents

@@ -69,3 +69,28 @@ def test_minhash_bucket_skew_cap(ray_session):
     seconds = {p["id_b"] for p in pairs}
     assert firsts == {"d0000"}  # every pair anchored at the cluster min
     assert seconds == {f"d{i:04d}" for i in range(1, 60)}
+
+
+def test_stratified_hash_sample(ray_session):
+    """Per-stratum rates hold approximately; membership is content-hash
+    deterministic (same rows kept under any partitioning)."""
+    import ray.data
+
+    from pii_detection_test_ray.stages.sampling import stratified_hash_sample
+
+    rows = [
+        {"lang": "ko" if i % 2 else "en", "text": f"doc number {i} content"}
+        for i in range(4000)
+    ]
+    kept_sets = []
+    for blocks in (2, 8):
+        ds = ray.data.from_items(rows, override_num_blocks=blocks)
+        kept = stratified_hash_sample(
+            ds, "lang", "text", rates={"ko": 0.5}, default_rate=0.1
+        ).take_all()
+        kept_sets.append({r["text"] for r in kept})
+        ko = sum(1 for r in kept if r["lang"] == "ko")
+        en = sum(1 for r in kept if r["lang"] == "en")
+        assert 800 < ko < 1200    # ~1000 of 2000
+        assert 120 < en < 280     # ~200 of 2000
+    assert kept_sets[0] == kept_sets[1]  # partitioning-invariant
