@@ -1160,6 +1160,63 @@ def q_multimodal_features(sf_dir: str) -> ray.data.Dataset:
     ).select_columns(["media_id", "img_width", "img_height", "img_mean_pixel"])
 
 
+def q_multimodal_frames(sf_dir: str) -> ray.data.Dataset:
+    """Video frame-sampling (flat-map shape: output rows ≠ input rows) plus
+    audio feature extraction through the same actor-pool plumbing — the
+    remaining two multimodal kinds next to `multimodal_features` (images)."""
+    from ..stages.multimodal import (
+        AudioFeatureBatcher,
+        FrameSampleBatcher,
+        make_fake_media,
+    )
+
+    videos = [
+        {"media_id": i, "media": make_fake_media("V", 64, 48, 40 + i % 20, seed=i)}
+        for i in range(16)
+    ]
+    audio = [
+        {"media_id": 1000 + i, "media": make_fake_media("A", 1000 + i * 10, 1, 1, seed=i)}
+        for i in range(16)
+    ]
+    frames = (
+        ray.data.from_items(videos, override_num_blocks=2)
+        .map_batches(
+            FrameSampleBatcher, batch_format="pyarrow", batch_size=8,
+            concurrency=(1, 2),
+        )
+    )
+    audio_feats = (
+        ray.data.from_items(audio, override_num_blocks=2)
+        .map_batches(
+            AudioFeatureBatcher, batch_format="pyarrow", batch_size=8,
+            concurrency=(1, 2),
+        )
+        .select_columns(["media_id", "n_samples"])
+    )
+    # Union the two result shapes on common columns: (media_id, metric value)
+    def frame_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "metric": pa.array(["frame_checksum"] * batch.num_rows, pa.string()),
+                "value": batch.column("frame_checksum"),
+            }
+        )
+
+    def audio_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "metric": pa.array(["n_samples"] * batch.num_rows, pa.string()),
+                "value": pc.cast(batch.column("n_samples"), pa.int64()),
+            }
+        )
+
+    return frames.map_batches(frame_rows, batch_format="pyarrow").union(
+        audio_feats.map_batches(audio_rows, batch_format="pyarrow")
+    )
+
+
 QUERIES = {
     # SQL-verified
     "lang_profile": q_lang_profile,
@@ -1210,4 +1267,5 @@ QUERIES = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "knn_ivf": q_knn_ivf,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
 }

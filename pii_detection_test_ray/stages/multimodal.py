@@ -87,6 +87,47 @@ class ImageFeatureBatcher:
         )
 
 
+class AudioFeatureBatcher:
+    """Actor-pool stage: binary audio column → (n_samples, mean_amplitude,
+    rms). Same import-gating contract as ImageFeatureBatcher: the synthetic
+    container always decodes; real formats would need an audio lib (absent
+    in this container), so non-container blobs raise NotImplementedError."""
+
+    def __init__(self, media_col: str = "media") -> None:
+        self.media_col = media_col
+
+    def _decode(self, blob: bytes) -> tuple[int, float, float]:
+        if blob[:4] != MAGIC:
+            raise NotImplementedError(
+                "real audio decode needs an audio library, absent here"
+            )
+        kind, _, _, _ = parse_header(blob)
+        if kind != "A":
+            raise ValueError(f"expected audio blob, got kind={kind}")
+        samples = np.frombuffer(blob[_HEADER.size :], dtype=np.uint8)
+        if not samples.size:
+            return 0, 0.0, 0.0
+        centered = samples.astype(np.float64) - 128.0
+        return (
+            int(samples.size),
+            float(np.abs(centered).mean()),
+            float(np.sqrt((centered**2).mean())),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, means, rmss = [], [], []
+        for blob in batch.column(self.media_col).to_pylist():
+            n, m, r = self._decode(blob)
+            ns.append(n)
+            means.append(round(m, 4))
+            rmss.append(round(r, 4))
+        return (
+            batch.append_column("n_samples", pa.array(ns, pa.int64()))
+            .append_column("mean_amplitude", pa.array(means, pa.float64()))
+            .append_column("rms_amplitude", pa.array(rmss, pa.float64()))
+        )
+
+
 class FrameSampleBatcher:
     """Actor-pool stage: 'video' blobs → one row per sampled frame index
     (flat-map shape: output rows ≠ input rows). Stride sampling, stub

@@ -124,3 +124,36 @@ class TestMultimodal:
         from pii_detection_test_ray.stages.multimodal import make_fake_media
 
         assert make_fake_media("I", 10, 10, 1, 5) == make_fake_media("I", 10, 10, 1, 5)
+
+
+def test_audio_features_and_frames_query(ray_session):
+    import ray.data
+
+    from pii_detection_test_ray.stages.multimodal import (
+        AudioFeatureBatcher,
+        make_fake_media,
+    )
+
+    rows = [
+        {"media_id": i, "media": make_fake_media("A", 500 + i, 1, 1, seed=i)}
+        for i in range(8)
+    ]
+    out = (
+        ray.data.from_items(rows, override_num_blocks=2)
+        .map_batches(AudioFeatureBatcher, batch_format="pyarrow", batch_size=4,
+                     concurrency=(1, 2))
+        .take_all()
+    )
+    assert len(out) == 8
+    for r in out:
+        assert r["n_samples"] > 0
+        assert 0.0 <= r["mean_amplitude"] <= r["rms_amplitude"] <= 128.0
+
+    from pii_detection_test_ray.pipelines.queries import q_multimodal_frames
+
+    rows = q_multimodal_frames("unused")
+    df = rows.to_pandas()
+    assert set(df["metric"]) == {"frame_checksum", "n_samples"}
+    assert (df[df["metric"] == "n_samples"]["value"] > 0).all()
+    # flat-map shape: more frame rows than input videos
+    assert (df["metric"] == "frame_checksum").sum() > 16
