@@ -262,7 +262,10 @@ def q_top_longest(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_lineitem_rollup(sf_dir: str) -> ray.data.Dataset:
-    """TPC-H-Q1-shaped wide aggregation with an exact-cents money contract."""
+    """TPC-H-Q1-shaped wide aggregation with an exact-cents money contract.
+    Combiner aggregation: the shuffle carries one partial row per (flag,
+    status) per batch instead of every lineitem — identical results
+    (integer sums are associative), ~10^5× less exchange volume at scale."""
     ds = _read(
         sf_dir,
         "lineitem",
@@ -274,37 +277,29 @@ def q_lineitem_rollup(sf_dir: str) -> ray.data.Dataset:
     def prep(batch: pa.Table) -> pa.Table:
         mask = pc.less_equal(batch.column("l_shipdate"), pa.scalar(cutoff))
         batch = batch.filter(mask)
-        qty = pc.cast(_round(batch.column("l_quantity"), 0), pa.int64())
-        cents = pc.cast(
-            _round(pc.multiply(batch.column("l_extendedprice"), 100.0), 0),
-            pa.int64(),
-        )
-        disc_pct = pc.cast(
-            _round(pc.multiply(batch.column("l_discount"), 100.0), 0), pa.int64()
-        )
         return pa.table(
             {
                 "l_returnflag": batch.column("l_returnflag"),
                 "l_linestatus": batch.column("l_linestatus"),
-                "qty": qty,
-                "price_cents": cents,
-                "disc_pct": disc_pct,
+                "sum_qty": pc.cast(_round(batch.column("l_quantity"), 0), pa.int64()),
+                "sum_price_cents": pc.cast(
+                    _round(pc.multiply(batch.column("l_extendedprice"), 100.0), 0),
+                    pa.int64(),
+                ),
+                "sum_disc_pct": pc.cast(
+                    _round(pc.multiply(batch.column("l_discount"), 100.0), 0),
+                    pa.int64(),
+                ),
             }
         )
 
-    agg = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("qty"), Sum("price_cents"), Sum("disc_pct"), Count())
-    )
-    return _rename(
-        agg,
-        {
-            "sum(qty)": "sum_qty",
-            "sum(price_cents)": "sum_price_cents",
-            "sum(disc_pct)": "sum_disc_pct",
-            "count()": "n_rows",
-        },
+    from ..stages.shuffle import partial_groupby_sum
+
+    return partial_groupby_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_price_cents", "sum_disc_pct"],
+        count_as="n_rows",
     )
 
 
