@@ -117,6 +117,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "token_counts": Q.q_token_counts,
         "knn_cosine": Q.q_knn_cosine,
         "fingerprints": Q.q_fingerprints,
+        "events_asof_orders": Q.q_events_asof_orders,
+        "value_bands": Q.q_value_bands,
+        "stratified_sample": Q.q_stratified_sample,
     }
     for name, fn in suite.items():
         best = float("inf")

@@ -3,24 +3,28 @@ same key with right_ts ≤ left_ts (DuckDB ``ASOF JOIN`` semantics — the
 operator the reference stack lacks entirely; SURVEY §2.9 extension).
 
 Plan shape: both sides are tagged and union'd under a padded common schema,
-then ONE ``groupby(key)`` co-locates each key's rows from both sides; inside
-``map_groups`` the right rows are sorted by timestamp once and every left
-timestamp binary-searches into them (numpy ``searchsorted`` — O((n+m) log m)
-per key, fully vectorized).
+then ONE ``groupby`` on a hash BUCKET of the key (not the key itself)
+co-locates each bucket's rows from both sides. Inside the bucket task the
+join is numpy-vectorized: factorize keys, lexsort the right side by
+(key, ts) once, and binary-search every left timestamp into its key's
+sorted slice. Bucketing by ``hash(key) % B`` instead of grouping per key
+matters at both ends of the scale: per-group ``map_groups`` pays Python +
+Arrow overhead per key (≈ms × millions of keys), while one task per bucket
+amortizes it over thousands of keys.
 
-Partitioning assumption (documented like ``sessionize``): one key's rows fit
-one reducer. At 100 TB with pathological keys, split the key into coarse
-time buckets and replicate each bucket's last-known right row into the next
-bucket's group — the standard boundary hand-off; not needed for web-log key
-cardinalities.
+Partitioning assumption (documented like ``sessionize``): one bucket's rows
+fit one reducer; B is derived from input bytes (~128 MiB per bucket), so a
+hot KEY still lands in one bucket — split pathological keys into coarse
+time sub-buckets with boundary hand-off if that ever binds.
 
-Determinism: when several right rows share (key, ts), the one sorted last
-wins locally, but cross-engine agreement is undefined in SQL — dedupe the
-right side first (e.g. keep the max-id row per (key, ts)) when hash-parity
-with an oracle matters; ``latest_per_key_ts`` below does exactly that.
+Determinism: when several right rows share (key, ts), cross-engine
+agreement is undefined in SQL — dedupe the right side first;
+``latest_per_key_ts`` (vectorized, same bucket shape) does exactly that.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -30,9 +34,40 @@ import ray.data
 
 def _ts_to_i64(arr) -> np.ndarray:
     """Timestamp/int column → int64 numpy (timestamps in microseconds)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
     if pa.types.is_timestamp(arr.type):
         arr = arr.cast(pa.timestamp("us"))
     return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _key_codes(*key_arrays: np.ndarray) -> list[np.ndarray]:
+    """Jointly factorize key arrays to dense int codes (order-preserving)."""
+    lengths = [len(a) for a in key_arrays]
+    allk = np.concatenate(key_arrays) if len(key_arrays) > 1 else key_arrays[0]
+    _, inverse = np.unique(allk, return_inverse=True)
+    out, pos = [], 0
+    for n in lengths:
+        out.append(inverse[pos : pos + n])
+        pos += n
+    return out
+
+
+def _add_bucket(batch: pa.Table, key: str, num_buckets: int) -> pa.Table:
+    buckets = [
+        int.from_bytes(
+            hashlib.blake2b(str(v).encode(), digest_size=4).digest(), "big"
+        )
+        % num_buckets
+        for v in batch.column(key).to_pylist()
+    ]
+    return batch.append_column("__bucket", pa.array(buckets, pa.int32()))
+
+
+def _num_buckets_for(*sides: ray.data.Dataset) -> int:
+    from .joins import _auto_num_buckets
+
+    return _auto_num_buckets(*sides)
 
 
 def asof_join(
@@ -42,6 +77,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     inner: bool = True,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Columns out = left's ∪ right's value columns (right's key/ts drop).
     ``inner=False`` keeps unmatched left rows with nulls (ASOF LEFT JOIN)."""
@@ -54,6 +90,8 @@ def asof_join(
         # No right rows: inner join is empty; left join passes rows through
         # (the right value columns are untyped-unknowable here, so omitted).
         return left.limit(0) if inner else left
+    if num_buckets is None:
+        num_buckets = _num_buckets_for(left, right)
     left_cols = list(l_schema.names)
     r_value_cols = [c for c in r_schema.names if c not in (key, right_ts)]
     overlap = set(left_cols) & set(r_value_cols)
@@ -68,9 +106,10 @@ def asof_join(
         for c in r_value_cols:
             batch = batch.append_column(c, pa.nulls(batch.num_rows, r_types[c]))
         batch = batch.select(all_cols)
-        return batch.append_column(
+        batch = batch.append_column(
             "__rts", pa.nulls(batch.num_rows, rts_type)
         ).append_column("__is_r", pa.array([False] * batch.num_rows, pa.bool_()))
+        return _add_bucket(batch, key, num_buckets)
 
     def tag_right(batch: pa.Table) -> pa.Table:
         cols = {}
@@ -82,42 +121,67 @@ def asof_join(
             else:
                 cols[c] = pa.nulls(batch.num_rows, col_types[c])
         out = pa.table(cols)
-        return out.append_column("__rts", batch.column(right_ts)).append_column(
+        out = out.append_column("__rts", batch.column(right_ts)).append_column(
             "__is_r", pa.array([True] * batch.num_rows, pa.bool_())
         )
+        return _add_bucket(out, key, num_buckets)
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def join_key_group(group: pa.Table) -> pa.Table:
+    def join_bucket(group: pa.Table) -> pa.Table:
         is_r = group.column("__is_r")
         l_rows = group.filter(pc.invert(is_r))
         r_rows = group.filter(is_r)
         l_out = l_rows.select(left_cols)
-        if r_rows.num_rows == 0:
-            if inner:
+        if r_rows.num_rows == 0 or l_rows.num_rows == 0:
+            if inner or l_rows.num_rows == 0:
                 return group.slice(0, 0).select(all_cols)
             out = l_out
             for c in r_value_cols:
                 out = out.append_column(c, pa.nulls(out.num_rows, r_types[c]))
             return out.select(all_cols)
-        rts = _ts_to_i64(r_rows.column("__rts").combine_chunks())
-        order = np.argsort(rts, kind="stable")
-        rts_sorted = rts[order]
-        lts = _ts_to_i64(l_rows.column(left_ts).combine_chunks())
-        idx = np.searchsorted(rts_sorted, lts, side="right") - 1
-        matched = idx >= 0
+
+        l_keys = l_rows.column(key).to_numpy(zero_copy_only=False)
+        r_keys = r_rows.column(key).to_numpy(zero_copy_only=False)
+        l_code, r_code = _key_codes(l_keys, r_keys)
+        lts = _ts_to_i64(l_rows.column(left_ts))
+        rts = _ts_to_i64(r_rows.column("__rts"))
+
+        r_order = np.lexsort((rts, r_code))
+        rc_s, rt_s = r_code[r_order], rts[r_order]
+        # right-slice boundaries per key code
+        n_codes = int(max(l_code.max(), r_code.max())) + 1
+        starts = np.searchsorted(rc_s, np.arange(n_codes), side="left")
+        ends = np.searchsorted(rc_s, np.arange(n_codes), side="right")
+        # for every left row: position of the last right ts ≤ its ts within
+        # its key's slice — one vectorized searchsorted per present key
+        match_idx = np.full(len(lts), -1, dtype=np.int64)
+        l_order = np.argsort(l_code, kind="stable")
+        lo = 0
+        while lo < len(l_order):
+            code = l_code[l_order[lo]]
+            hi = lo
+            while hi < len(l_order) and l_code[l_order[hi]] == code:
+                hi += 1
+            rows = l_order[lo:hi]
+            s, e = starts[code], ends[code]
+            if e > s:
+                pos = np.searchsorted(rt_s[s:e], lts[rows], side="right") - 1
+                ok = pos >= 0
+                match_idx[rows[ok]] = s + pos[ok]
+            lo = hi
+        matched = match_idx >= 0
         if inner:
             l_out = l_out.filter(pa.array(matched))
-            take_idx = order[idx[matched]]
+            take_idx = r_order[match_idx[matched]]
             r_match = r_rows.take(pa.array(take_idx, pa.int64()))
             out = l_out
             for c in r_value_cols:
                 out = out.append_column(c, r_match.column(c))
             return out.select(all_cols)
-        # left join: null value columns where unmatched
-        take_idx = order[np.where(matched, idx, 0)]
+        take_idx = r_order[np.where(matched, match_idx, 0)]
         r_match = r_rows.take(pa.array(take_idx, pa.int64()))
         valid = pa.array(matched)
         out = l_out
@@ -129,7 +193,10 @@ def asof_join(
             out = out.append_column(c, vals)
         return out.select(all_cols)
 
-    return tagged.groupby(key).map_groups(join_key_group, batch_format="pyarrow")
+    return (
+        tagged.groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
 
 
 def latest_per_key_ts(
@@ -137,14 +204,33 @@ def latest_per_key_ts(
     key: str,
     ts_col: str,
     tiebreak_col: str,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """One row per (key, ts): the max-``tiebreak_col`` row — the
-    deterministic right-side dedup an oracle-verifiable as-of join needs
-    (composite keys are fine-grained → no reducer skew)."""
+    deterministic right-side dedup an oracle-verifiable as-of join needs.
+    Vectorized per hash bucket (a per-(key,ts) ``map_groups`` would pay
+    Python overhead per composite key — millions of calls at scale)."""
+    if ds.schema() is None:
+        return ds
+    if num_buckets is None:
+        num_buckets = _num_buckets_for(ds)
 
-    def keep_max(group: pa.Table) -> pa.Table:
-        tb = group.column(tiebreak_col)
-        idx = pc.index(tb, pc.max(tb).as_py()).as_py()
-        return group.slice(idx, 1)
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        keys = group.column(key).to_numpy(zero_copy_only=False)
+        (code,) = _key_codes(keys)
+        ts = _ts_to_i64(group.column(ts_col))
+        tb = group.column(tiebreak_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, ts, code))
+        c_s, t_s = code[order], ts[order]
+        last = np.ones(len(order), dtype=bool)
+        last[:-1] = (c_s[1:] != c_s[:-1]) | (t_s[1:] != t_s[:-1])
+        return group.take(pa.array(order[last], pa.int64())).drop_columns(
+            ["__bucket"]
+        )
 
-    return ds.groupby([key, ts_col]).map_groups(keep_max, batch_format="pyarrow")
+    bucketed = ds.map_batches(
+        lambda b: _add_bucket(b, key, num_buckets), batch_format="pyarrow"
+    )
+    return bucketed.groupby("__bucket").map_groups(
+        reduce_bucket, batch_format="pyarrow"
+    )
