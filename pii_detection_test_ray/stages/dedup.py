@@ -175,25 +175,121 @@ def _cluster_verify_pairs(
     )
 
 
-def _first_per_pair(pairs: ray.data.Dataset) -> ray.data.Dataset:
-    """A pair found in several buckets/bands collapses to one row."""
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+def _first_per_pair(pairs: ray.data.Dataset, score_col: str) -> ray.data.Dataset:
+    """A pair found in several buckets/bands collapses to one row. The score
+    is signature-derived, so duplicates of a pair carry the SAME score —
+    an aggregate (vectorized, no per-pair Python call) replaces the
+    per-group map_groups that cost one call per distinct pair."""
+    from ray.data.aggregate import Min
+
+    agg = pairs.groupby(["id_a", "id_b"]).aggregate(Min(score_col))
+
+    def unalias(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [
+                {f"min({score_col})": score_col}.get(c, c)
+                for c in batch.column_names
+            ]
+        )
+
+    return agg.map_batches(unalias, batch_format="pyarrow")
+
+
+def _coarse_bucketed_pairs(
+    bands: ray.data.Dataset,
+    bucket_col: str,
+    per_bucket_fn,
+    num_coarse: int = 128,
+) -> ray.data.Dataset:
+    """Run a per-LSH-bucket pair generator over COARSE hash buckets: LSH
+    bucket keys have unbounded cardinality (≈ docs × bands distinct keys),
+    so grouping on them directly costs one Python/Arrow map_groups call per
+    key. Grouping on ``key % num_coarse`` instead gives one task per coarse
+    bucket; inside, rows sort by the true key once and ``per_bucket_fn``
+    runs per contiguous run — same outputs, ~10^4× fewer group calls."""
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        cb = pc.bit_wise_and(
+            batch.column(bucket_col), pa.scalar(num_coarse - 1, pa.int64())
+        )
+        return batch.append_column("__cb", pc.cast(cb, pa.int32()))
+
+    def verify_coarse(group: pa.Table) -> pa.Table:
+        keys = group.column(bucket_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        g = group.take(pa.array(order, pa.int64()))
+        ks = keys[order]
+        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1], True])
+        tables = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s >= 2:
+                sub = g.slice(int(s), int(e - s))
+                t = per_bucket_fn(sub)
+                if t.num_rows:
+                    tables.append(t)
+        if tables:
+            return pa.concat_tables(tables)
+        return per_bucket_fn(g.slice(0, 0))  # empty, schema-correct
+
+    return (
+        bands.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(verify_coarse, batch_format="pyarrow")
     )
 
 
 def _pairs_from_group(group: pa.Table, id_col: str, threshold: float) -> pa.Table:
-    """MinHash bucket: cluster by exact signature; verify reps by signature
-    agreement fraction ≥ threshold."""
-    sigs = [np.asarray(x, dtype=np.uint64) for x in group.column("sig").to_pylist()]
+    """MinHash bucket: cluster by exact signature (linear head pairs), then
+    verify distinct-signature representatives with a single numpy broadcast
+    — (R, R, perm) elementwise-equality mean — instead of R²/2 Python calls."""
+    id_type = group.schema.field(id_col).type
+    ids = group.column(id_col).to_pylist()
+    sig_col = group.column("sig")
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    n = len(ids)
+    num_perm = len(sig_col[0]) if n else 0
+    sigs = (
+        sig_col.flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.uint64)
+        .reshape(n, num_perm)
+        if n
+        else np.zeros((0, 0), dtype=np.uint64)
+    )
 
-    def verify(i: int, j: int) -> float | None:
-        est = float(np.mean(sigs[i] == sigs[j]))
-        return round(est, 6) if est >= threshold else None
-
-    return _cluster_verify_pairs(
-        group, id_col, [sig.tobytes() for sig in sigs], verify,
-        identical_score=1.0, score_name="est_jaccard", score_type=pa.float64(),
+    clusters: dict = {}
+    for i in range(n):
+        clusters.setdefault(sigs[i].tobytes(), []).append(i)
+    a_out, b_out, s_out = [], [], []
+    reps: list[int] = []
+    for members in clusters.values():
+        members.sort(key=lambda i: ids[i])
+        head = members[0]
+        reps.append(head)
+        for other in members[1:]:
+            if ids[other] != ids[head]:
+                a_out.append(ids[head])
+                b_out.append(ids[other])
+                s_out.append(1.0)
+    reps.sort(key=lambda i: ids[i])
+    reps = reps[:_MAX_BUCKET_REPS]
+    if len(reps) >= 2:
+        rep_sigs = sigs[reps]  # (R, perm)
+        est = (rep_sigs[:, None, :] == rep_sigs[None, :, :]).mean(axis=2)
+        xs, ys = np.where(np.triu(est >= threshold, k=1))
+        for x, y in zip(xs.tolist(), ys.tolist()):
+            i, j = reps[x], reps[y]
+            if ids[i] != ids[j]:
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+                s_out.append(round(float(est[x, y]), 6))
+    return pa.table(
+        {
+            "id_a": pa.array(a_out, id_type),
+            "id_b": pa.array(b_out, id_type),
+            "est_jaccard": pa.array(s_out, pa.float64()),
+        }
     )
 
 
@@ -222,10 +318,10 @@ def minhash_duplicate_pairs(
             "carry_text": False,
         },
     )
-    pairs = bands.groupby("band_key").map_groups(
-        lambda g: _pairs_from_group(g, id_col, threshold), batch_format="pyarrow"
+    pairs = _coarse_bucketed_pairs(
+        bands, "band_key", lambda g: _pairs_from_group(g, id_col, threshold)
     )
-    return _first_per_pair(pairs)
+    return _first_per_pair(pairs, "est_jaccard")
 
 
 def dedup_minhash(
@@ -300,12 +396,12 @@ def simhash_duplicate_pairs(
             identical_score=0, score_name="hamming", score_type=pa.int64(),
         )
 
-    pairs = (
-        ds.map_batches(emit_chunks, batch_format="pyarrow")
-        .groupby("chunk_key")
-        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    pairs = _coarse_bucketed_pairs(
+        ds.map_batches(emit_chunks, batch_format="pyarrow"),
+        "chunk_key",
+        pairs_in_bucket,
     )
-    return _first_per_pair(pairs)
+    return _first_per_pair(pairs, "hamming")
 
 
 # ---------------------------------------------------------------------------
@@ -358,8 +454,8 @@ def ngram_jaccard_pairs(
             identical_score=1.0, score_name="jaccard", score_type=pa.float64(),
         )
 
-    pairs = bands.groupby("band_key").map_groups(verify, batch_format="pyarrow")
-    return _first_per_pair(pairs)
+    pairs = _coarse_bucketed_pairs(bands, "band_key", verify)
+    return _first_per_pair(pairs, "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -415,9 +511,7 @@ def embedding_duplicate_pairs(
             identical_score=1.0, score_name="cosine", score_type=pa.float64(),
         )
 
-    pairs = (
-        ds.map_batches(emit_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pyarrow")
+    pairs = _coarse_bucketed_pairs(
+        ds.map_batches(emit_bucket, batch_format="pyarrow"), "bucket", verify
     )
-    return _first_per_pair(pairs)
+    return _first_per_pair(pairs, "cosine")
