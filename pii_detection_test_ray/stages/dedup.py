@@ -96,20 +96,23 @@ class _BandEmitter:
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
         out_key: list[int] = []
+        out_band: list[int] = []
         out_id: list = []
         out_sig: list[list[int]] = []
         out_text: list[str] = []
         for doc_id, text in zip(ids, texts):
             sig = self.hasher.signature_for_text(text, self.ngram)
             sig_list = sig.tolist()
-            for key in lsh_band_keys(sig, self.num_bands):
+            for band, key in enumerate(lsh_band_keys(sig, self.num_bands)):
                 out_key.append(key & 0x7FFFFFFFFFFFFFFF)
+                out_band.append(band)
                 out_id.append(doc_id)
                 out_sig.append(sig_list)
                 if self.carry_text:
                     out_text.append(text)
         cols = {
             "band_key": pa.array(out_key, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
             self.id_col: pa.array(out_id),
             "sig": pa.array(out_sig, pa.list_(pa.uint64())),
         }
@@ -238,16 +241,29 @@ def _coarse_bucketed_pairs(
     )
 
 
-def _pairs_from_group(group: pa.Table, id_col: str, threshold: float) -> pa.Table:
+def _pairs_from_group(
+    group: pa.Table, id_col: str, threshold: float, num_bands: int
+) -> pa.Table:
     """MinHash bucket: cluster by exact signature (linear head pairs), then
     verify distinct-signature representatives with a single numpy broadcast
-    — (R, R, perm) elementwise-equality mean — instead of R²/2 Python calls."""
+    — (R, R, perm) elementwise-equality mean — instead of R²/2 Python calls.
+
+    Canonical-band rule: a colliding pair appears in EVERY band whose
+    signature slices agree (up to num_bands copies — the dominant shuffle
+    volume on clone-heavy corpora); each pair is emitted only from the
+    FIRST such band, so the pair-dedup aggregate sees ~1 row per pair.
+    Interaction with the rep cap: if the canonical band's bucket is capped
+    (>_MAX_BUCKET_REPS distinct signatures — pathological input), a
+    rep-pair dropped there is no longer opportunistically recovered by a
+    later band (~1% of pairs on a clone-saturated corpus); identical-
+    signature cluster pairs are NEVER affected (linear emission, no cap)."""
     id_type = group.schema.field(id_col).type
     ids = group.column(id_col).to_pylist()
+    n = len(ids)
+    band = int(group.column("band")[0].as_py()) if n else 0
     sig_col = group.column("sig")
     if isinstance(sig_col, pa.ChunkedArray):
         sig_col = sig_col.combine_chunks()
-    n = len(ids)
     num_perm = len(sig_col[0]) if n else 0
     sigs = (
         sig_col.flatten()
@@ -258,26 +274,39 @@ def _pairs_from_group(group: pa.Table, id_col: str, threshold: float) -> pa.Tabl
         else np.zeros((0, 0), dtype=np.uint64)
     )
 
+    a_out, b_out, s_out = [], [], []
     clusters: dict = {}
     for i in range(n):
         clusters.setdefault(sigs[i].tobytes(), []).append(i)
-    a_out, b_out, s_out = [], [], []
     reps: list[int] = []
     for members in clusters.values():
         members.sort(key=lambda i: ids[i])
         head = members[0]
         reps.append(head)
-        for other in members[1:]:
-            if ids[other] != ids[head]:
-                a_out.append(ids[head])
-                b_out.append(ids[other])
-                s_out.append(1.0)
+        # identical signatures agree in every band → canonical band is 0
+        if band == 0:
+            for other in members[1:]:
+                if ids[other] != ids[head]:
+                    a_out.append(ids[head])
+                    b_out.append(ids[other])
+                    s_out.append(1.0)
     reps.sort(key=lambda i: ids[i])
     reps = reps[:_MAX_BUCKET_REPS]
-    if len(reps) >= 2:
+    if len(reps) >= 2 and num_perm:
         rep_sigs = sigs[reps]  # (R, perm)
-        est = (rep_sigs[:, None, :] == rep_sigs[None, :, :]).mean(axis=2)
-        xs, ys = np.where(np.triu(est >= threshold, k=1))
+        eq = rep_sigs[:, None, :] == rep_sigs[None, :, :]  # (R, R, perm)
+        est = eq.mean(axis=2)
+        rows_per = num_perm // num_bands
+        band_eq = eq[:, :, : rows_per * num_bands].reshape(
+            len(reps), len(reps), num_bands, rows_per
+        ).all(axis=3)
+        first_band = band_eq.argmax(axis=2)  # first True along bands
+        emit = (
+            np.triu(est >= threshold, k=1)
+            & band_eq.any(axis=2)
+            & (first_band == band)
+        )
+        xs, ys = np.where(emit)
         for x, y in zip(xs.tolist(), ys.tolist()):
             i, j = reps[x], reps[y]
             if ids[i] != ids[j]:
@@ -319,7 +348,8 @@ def minhash_duplicate_pairs(
         },
     )
     pairs = _coarse_bucketed_pairs(
-        bands, "band_key", lambda g: _pairs_from_group(g, id_col, threshold)
+        bands, "band_key",
+        lambda g: _pairs_from_group(g, id_col, threshold, num_bands),
     )
     return _first_per_pair(pairs, "est_jaccard")
 
