@@ -132,6 +132,8 @@ def _cluster_verify_pairs(
     identical_score: float,
     score_name: str,
     score_type: pa.DataType,
+    emit_identical: bool = True,
+    pair_gate=None,
 ) -> pa.Table:
     """Shared skew-capped pair emission for one LSH/chunk bucket.
 
@@ -140,7 +142,13 @@ def _cluster_verify_pairs(
     min-id head at ``identical_score`` (O(N), enough for keep-min dedup).
     The O(reps²) ``verify_fn(i, j) -> score|None`` pass then runs only
     across distinct-signature representatives, capped at _MAX_BUCKET_REPS
-    (beyond that the bucket is pathological input)."""
+    (beyond that the bucket is pathological input).
+
+    Canonical-emission hooks (so a pair colliding in several bands/chunks
+    is produced — and its verify_fn paid — exactly once):
+    ``emit_identical=False`` suppresses the identical-cluster pairs (the
+    caller knows this is not the pair's first agreeing band), and
+    ``pair_gate(i, j) -> bool`` is a cheap pre-verify filter for reps."""
     id_type = group.schema.field(id_col).type
     ids = group.column(id_col).to_pylist()
     clusters: dict = {}
@@ -152,17 +160,20 @@ def _cluster_verify_pairs(
         members.sort(key=lambda i: ids[i])
         head = members[0]
         reps.append(head)
-        for other in members[1:]:
-            if ids[other] != ids[head]:
-                a_out.append(ids[head])
-                b_out.append(ids[other])
-                s_out.append(identical_score)
+        if emit_identical:
+            for other in members[1:]:
+                if ids[other] != ids[head]:
+                    a_out.append(ids[head])
+                    b_out.append(ids[other])
+                    s_out.append(identical_score)
     reps.sort(key=lambda i: ids[i])
     reps = reps[:_MAX_BUCKET_REPS]
     for x in range(len(reps)):
         for y in range(x + 1, len(reps)):
             i, j = reps[x], reps[y]
             if ids[i] == ids[j]:
+                continue
+            if pair_gate is not None and not pair_gate(i, j):
                 continue
             score = verify_fn(i, j)
             if score is not None:
@@ -416,14 +427,26 @@ def simhash_duplicate_pairs(
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         hashes = group.column("simhash").to_pylist()
+        chunk = int(group.column("chunk_key")[0].as_py()) >> 16 if group.num_rows else 0
+
+        def first_equal_chunk(i: int, j: int) -> int:
+            x = (hashes[i] ^ hashes[j]) & 0xFFFFFFFFFFFFFFFF
+            for c in range(4):
+                if (x >> (16 * c)) & 0xFFFF == 0:
+                    return c
+            return -1
 
         def verify(i: int, j: int) -> int | None:
             d = hamming64(hashes[i], hashes[j])
             return d if d <= max_hamming else None
 
+        # Canonical-chunk emission: a pair agreeing on several 16-bit chunks
+        # collides in each of their buckets; emit it only from the first.
         return _cluster_verify_pairs(
             group, id_col, hashes, verify,
             identical_score=0, score_name="hamming", score_type=pa.int64(),
+            emit_identical=(chunk == 0),
+            pair_gate=lambda i, j: first_equal_chunk(i, j) == chunk,
         )
 
     pairs = _coarse_bucketed_pairs(
@@ -468,6 +491,7 @@ def ngram_jaccard_pairs(
 
     def verify(group: pa.Table) -> pa.Table:
         texts = group.column(text_col).to_pylist()
+        band = int(group.column("band")[0].as_py()) if group.num_rows else 0
         shingle_cache: dict[int, set] = {}
 
         def shingles(i: int) -> set:
@@ -479,9 +503,17 @@ def ngram_jaccard_pairs(
             jac = jaccard(shingles(i), shingles(j))
             return round(jac, 6) if jac >= threshold else None
 
+        # Canonical emission for IDENTICAL texts only (exact: identical
+        # texts agree at band 0 and cluster emission is uncapped, so no
+        # recall loss; on clone-heavy data they dominate the duplication).
+        # Distinct-text rep pairs stay ungated: with 4-perm slices the
+        # permissive bands cap constantly, and a canonical-band gate there
+        # measured a 30% pair loss — the opportunistic multi-band recovery
+        # IS the recall mechanism for this operator.
         return _cluster_verify_pairs(
             group, id_col, texts, verify_pair,
             identical_score=1.0, score_name="jaccard", score_type=pa.float64(),
+            emit_identical=(band == 0),
         )
 
     pairs = _coarse_bucketed_pairs(bands, "band_key", verify)
