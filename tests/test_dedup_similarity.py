@@ -149,6 +149,118 @@ def test_embedding_bucket_skew_cap(ray_session):
     assert all(p["cosine"] == 1.0 for p in dup_pairs)
 
 
+def _mutation_corpus(n_families=12, variants=4, seed=11):
+    """Families of near-duplicate documents: each family is a base sentence
+    with word substitutions of increasing depth, giving a spread of true
+    Jaccard similarities around any threshold."""
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{k:02d}" for k in range(40)]
+    rows = []
+    for f in range(n_families):
+        base = [vocab[int(rng.randint(len(vocab)))] for _ in range(18)]
+        rows.append({"url": f"f{f:02d}dup", "text": " ".join(base)})  # exact clone of v0
+        for v in range(variants):
+            words = list(base)
+            for _ in range(v):  # v=0 keeps the exact text
+                words[int(rng.randint(len(words)))] = vocab[int(rng.randint(len(vocab)))]
+            rows.append({"url": f"f{f:02d}v{v}", "text": " ".join(words)})
+    return rows
+
+
+def test_ngram_pairs_match_pure_python_oracle(ray_session):
+    """EXACT set parity with an independent simulation of the operator's
+    contract: candidates share >=1 LSH band bucket (exact band_key groups),
+    a pair is emitted iff its word-3-gram Jaccard >= threshold, oriented
+    (min_id, max_id). Guards the canonical-emission gates and the coarse
+    bucket subdivision (a merged-bucket bug would add candidates; a broken
+    gate would drop identical-text pairs)."""
+    from pii_detection_test_ray.functions.hashing import (
+        MinHasher,
+        jaccard,
+        lsh_band_keys,
+        word_ngrams,
+    )
+    from pii_detection_test_ray.stages.dedup import ngram_jaccard_pairs
+
+    rows = _mutation_corpus()
+    threshold = 0.5
+    # Representative compression (mirrors the operator): identical texts
+    # form a cluster whose min-id head alone does candidate pairing; every
+    # other member pairs only with its head (at Jaccard 1.0).
+    clusters: dict[str, list[str]] = {}
+    for r in rows:
+        clusters.setdefault(r["text"], []).append(r["url"])
+    expected = {}
+    heads = []
+    for text, urls in clusters.items():
+        urls.sort()
+        heads.append((urls[0], text))
+        for other in urls[1:]:
+            expected[(urls[0], other)] = 1.0
+    hasher = MinHasher(num_perm=128)
+    buckets: dict[int, list[int]] = {}
+    for d, (_, text) in enumerate(heads):
+        sig = hasher.signature_for_text(text, 3)
+        for key in lsh_band_keys(sig, 32):
+            buckets.setdefault(key & 0x7FFFFFFFFFFFFFFF, []).append(d)
+    shingle = [set(word_ngrams(text, 3)) for _, text in heads]
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                a, b = sorted((heads[i][0], heads[j][0]))
+                if (a, b) in expected:
+                    continue
+                jac = round(jaccard(shingle[i], shingle[j]), 6)
+                if jac >= threshold:
+                    expected[(a, b)] = jac
+
+    ds = ray.data.from_items(rows, override_num_blocks=3)
+    got = {
+        (p["id_a"], p["id_b"]): p["jaccard"]
+        for p in ngram_jaccard_pairs(ds, threshold=threshold).take_all()
+    }
+    assert got == expected
+    assert len(expected) > 10  # the corpus really exercises the operator
+
+
+def test_simhash_pairs_match_pure_python_oracle(ray_session):
+    """With max_hamming=3 <= 64/4 chunks, the pigeonhole guarantee makes the
+    contract exactly 'every pair at hamming distance <= 3' — assert full set
+    parity against brute force (guards the canonical-chunk gate)."""
+    from pii_detection_test_ray.functions.hashing import hamming64, simhash64
+    from pii_detection_test_ray.stages.dedup import simhash_duplicate_pairs
+
+    rows = _mutation_corpus(n_families=10, variants=3, seed=23)
+    # Representative compression mirrors the operator: identical SimHash
+    # values cluster; the min-id head alone does brute pairing, members
+    # pair with their head at distance 0.
+    clusters: dict[int, list[str]] = {}
+    for r in rows:
+        clusters.setdefault(simhash64(r["text"]), []).append(r["url"])
+    expected = {}
+    heads = []
+    for h, urls in clusters.items():
+        urls.sort()
+        heads.append((urls[0], h))
+        for other in urls[1:]:
+            expected[(urls[0], other)] = 0
+    for i in range(len(heads)):
+        for j in range(i + 1, len(heads)):
+            d = hamming64(heads[i][1], heads[j][1])
+            if d <= 3:
+                a, b = sorted((heads[i][0], heads[j][0]))
+                expected[(a, b)] = d
+
+    ds = ray.data.from_items(rows, override_num_blocks=3)
+    got = {
+        (p["id_a"], p["id_b"]): p["hamming"]
+        for p in simhash_duplicate_pairs(ds, max_hamming=3).take_all()
+    }
+    assert got == expected
+    assert len(expected) >= 5
+
+
 def test_dedup_minhash_no_driver_materialization(ray_session):
     """dedup_minhash keeps the kept-set semantics while routing the drop set
     through the distributed anti-join (no take_all of ids in the operator)."""
