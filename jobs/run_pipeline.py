@@ -92,6 +92,21 @@ def main() -> None:
         "rows_out": sum(r.rows_out for r in results),
         "wall_sec": round(sum(r.wall_sec for r in results), 3),
     }
+    # Roll the checkpointed per-partition stage metrics (<output>/_metrics
+    # Parquet) into the summary line — covers ALL completed groups, including
+    # ones finished by earlier (resumed) invocations.
+    from pii_detection_test_ray.state.lineage import read_stage_metrics
+
+    m = read_stage_metrics(args.output)
+    totals: dict[str, float] = {}
+    for metric, value in zip(
+        m.column("metric").to_pylist(), m.column("value").to_pylist()
+    ):
+        if not metric.startswith(("lang:", "drop_reason:")) and metric != "wall_sec":
+            totals[metric] = totals.get(metric, 0.0) + value
+    for name in ("kept", "dropped", "pii_spans", "toxic_spans"):
+        if name in totals:
+            summary[name] = int(totals[name])
     print(json.dumps(summary))
     ray.shutdown()
 

@@ -66,9 +66,13 @@ class PipelineOptions:
         scrub/quality stages INTO the classifier actor pool, so an
         undersized classifier pool silently caps ~2/3 of the pipeline —
         the bottleneck the default (1, 4) range hits at 32 CPUs.
-        Small clusters (≤ 4 CPUs, e.g. test sessions) keep the fractional
+        Tiny clusters (≤ 2 CPUs, e.g. test sessions) keep the fractional
         shared-CPU defaults: whole-CPU pool minimums there can reserve
-        every core and starve the read tasks."""
+        every core and starve the read tasks. From 3 CPUs up the same
+        proportional split applies (capped so at least one core stays free
+        for read/write tasks) — both levels of an N vs 4N scaling run must
+        execute the same config shape, or the comparison measures tuning,
+        not scaling."""
         if num_cpus is None:
             try:
                 import ray
@@ -76,10 +80,11 @@ class PipelineOptions:
                 num_cpus = int(ray.cluster_resources().get("CPU", 8))
             except Exception:
                 num_cpus = 8
-        if num_cpus <= 4:
+        if num_cpus <= 2:
             return cls()
-        pool = max(2, round(num_cpus * 3 / 16))
-        clsf = max(2, round(num_cpus * 5 / 8))
+        pool = max(1, round(num_cpus * 3 / 16))
+        clsf = max(1, round(num_cpus * 5 / 8))
+        clsf = min(clsf, num_cpus - 1 - pool)  # ≥1 core free for tasks
         return cls(
             batch_size=512,
             langid_actors=(pool, pool),

@@ -9,6 +9,13 @@ run must instead resume mid-corpus: here the unit of work is an input shard
 versions) via write-to-temp + rename. On restart, shards with a manifest
 entry are skipped; a shard killed mid-write leaves no manifest and is
 reprocessed from its own input only.
+
+Alongside each manifest, per-partition STAGE METRICS are checkpointed to
+Parquet (``_metrics/<shard>.parquet``, long format ``shard / metric /
+value``): kept/dropped counts, per-reason drop histogram, per-language doc
+counts, scrubbed PII/toxic span totals, wall time. ``read_stage_metrics``
+loads the whole directory as one table — the health dashboard of a long
+run reads this instead of scanning output shards.
 """
 
 from __future__ import annotations
@@ -71,6 +78,97 @@ def _record(out_dir: str, entry: dict) -> None:
     os.replace(tmp, final)  # atomic on POSIX
 
 
+def _metrics_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_metrics")
+
+
+def _checkpoint_stage_metrics(
+    out_dir: str, key: str, part_dir: str, rows_in: int, wall: float
+) -> None:
+    """Aggregate the group's just-written output into a tiny long-format
+    Parquet file (columns: shard, metric, value). Reads back only the five
+    metric columns of one group — columnar, cheap at any corpus scale —
+    and writes atomically (temp + rename) like the manifest."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    wanted = ["keep", "drop_reasons", "pred_lang", "n_pii_spans", "n_toxic_spans"]
+    files = [
+        os.path.join(part_dir, n)
+        for n in sorted(os.listdir(part_dir))
+        if n.endswith(".parquet")
+    ]
+    metrics: dict[str, float] = {"rows_in": float(rows_in), "wall_sec": round(wall, 3)}
+    if files:
+        # resumable_run is generic over pipeline_fn: only aggregate the
+        # metric columns the output actually has.
+        have = set(pq.ParquetFile(files[0]).schema_arrow.names)
+        cols = [c for c in wanted if c in have]
+        t = pa.concat_tables(pq.read_table(f, columns=cols) for f in files)
+        metrics["rows_out"] = float(t.num_rows)
+        if "keep" in cols:
+            kept = pc.sum(pc.cast(t.column("keep"), pa.int64())).as_py() or 0
+            metrics["kept"] = float(kept)
+            metrics["dropped"] = float(t.num_rows - kept)
+        for col in ("n_pii_spans", "n_toxic_spans"):
+            if col in cols:
+                key_name = col.removeprefix("n_")
+                metrics[key_name] = float(pc.sum(t.column(col)).as_py() or 0)
+        histos = []
+        if "drop_reasons" in cols:
+            histos.append(
+                (t.column("drop_reasons").combine_chunks().flatten(), "drop_reason")
+            )
+        if "pred_lang" in cols:
+            histos.append((t.column("pred_lang"), "lang"))
+        for part, prefix in histos:
+            counts = pa.table({"v": part}).group_by("v").aggregate([("v", "count")])
+            for v, c in zip(
+                counts.column("v").to_pylist(), counts.column("v_count").to_pylist()
+            ):
+                metrics[f"{prefix}:{v}"] = float(c)
+    else:  # pragma: no cover - empty group
+        metrics["rows_out"] = 0.0
+    out = pa.table(
+        {
+            "shard": pa.array([key] * len(metrics), pa.string()),
+            "metric": pa.array(list(metrics), pa.string()),
+            "value": pa.array(list(metrics.values()), pa.float64()),
+        }
+    )
+    mdir = _metrics_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    final = os.path.join(mdir, f"{key}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, final)
+
+
+def read_stage_metrics(out_dir: str):
+    """All checkpointed per-partition stage metrics as one pyarrow Table
+    (columns shard / metric / value); empty table if none recorded yet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mdir = _metrics_dir(out_dir)
+    empty = pa.table(
+        {
+            "shard": pa.array([], pa.string()),
+            "metric": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+        }
+    )
+    if not os.path.isdir(mdir):
+        return empty
+    tables = [
+        pq.read_table(os.path.join(mdir, n))
+        for n in sorted(os.listdir(mdir))
+        if n.endswith(".parquet")
+    ]
+    return pa.concat_tables(tables) if tables else empty
+
+
 def resumable_run(
     input_files: list[str],
     out_dir: str,
@@ -113,6 +211,7 @@ def resumable_run(
         )
         rows_in = sum(f.metadata.num_rows for f in map(_pq, group))
         wall = time.time() - t0
+        _checkpoint_stage_metrics(out_dir, key, part_dir, rows_in, wall)
         _record(
             out_dir,
             {

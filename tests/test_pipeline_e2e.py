@@ -94,12 +94,28 @@ def test_resumable_run(ray_session, small_corpus, tmp_path):
     res3 = resumable_run(files, out, build_pipeline, group_size=2)
     assert sum(1 for r in res3 if not r.skipped) == 1
 
+    # Stage metrics checkpointed to Parquet alongside the manifests: one
+    # file per group, long format, totals consistent with the manifests.
+    from pii_detection_test_ray.state.lineage import read_stage_metrics
+
+    m = read_stage_metrics(out).to_pandas()
+    assert set(m.columns) == {"shard", "metric", "value"}
+    assert set(m["shard"]) == {r.shard for r in res1}
+    per_metric = m.groupby("metric")["value"].sum()
+    assert per_metric["rows_out"] == total_rows
+    assert per_metric["kept"] + per_metric["dropped"] == total_rows
+    assert per_metric["pii_spans"] > 0  # the fixture corpus plants PII
+    lang_total = m[m["metric"].str.startswith("lang:")]["value"].sum()
+    assert lang_total == total_rows
+
 
 def test_pipeline_options_auto():
     from pii_detection_test_ray.pipelines.quality_filter import PipelineOptions
 
-    small = PipelineOptions.auto(num_cpus=4)
-    assert small == PipelineOptions()  # small clusters keep shared-CPU defaults
+    tiny = PipelineOptions.auto(num_cpus=2)
+    assert tiny == PipelineOptions()  # tiny clusters keep shared-CPU defaults
+    small = PipelineOptions.auto(num_cpus=4)  # proportional from 3 CPUs up
+    assert small.langid_actors == (1, 1) and small.classifier_actors == (2, 2)
     big = PipelineOptions.auto(num_cpus=32)
     assert big.langid_actors == (6, 6)
     assert big.classifier_actors == (20, 20)
