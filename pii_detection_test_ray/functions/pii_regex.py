@@ -230,9 +230,16 @@ def detect_pii(text: str) -> tuple[dict[str, list[str] | None], list[PiiSpan]]:
     """
     out = _Collector()
 
+    # Anchor pre-guards: each skipped pattern literally requires the guard
+    # substring (a necessary condition), so skipping cannot change output —
+    # it only avoids a full regex scan on documents that cannot match.
+    # Byte-identity vs the reference is pinned by tests/test_reference_parity.
+    has_colon = ":" in text or "：" in text
+
     # -- 이름: label-anchored capture only ---------------------------------
-    for m in RX["name_labeled"].finditer(text):
-        out.take("이름", m.group(1), *m.span(1))
+    if has_colon:  # pattern requires [:：]
+        for m in RX["name_labeled"].finditer(text):
+            out.take("이름", m.group(1), *m.span(1))
 
     # -- 주소: road then lot form ------------------------------------------
     for key in ("addr_road", "addr_lot"):
@@ -254,16 +261,24 @@ def detect_pii(text: str) -> tuple[dict[str, list[str] | None], list[PiiSpan]]:
         out.take("운전면허번호", m.group(0), *m.span())
 
     # -- 이메일: standard (with role/test exclusions), obfuscated, masked --
-    for m in RX["email_std"].finditer(text):
-        email = m.group(0).strip()
-        lower = email.lower()
-        if any(bad in lower for bad in _EMAIL_DOMAIN_BLOCKLIST):
-            continue
-        if _EMAIL_ROLE_PREFIX.match(lower):
-            continue
-        out.take("이메일", email, *m.span())
-    for key in ("email_obfuscated", "email_masked"):
-        for m in RX[key].finditer(text):
+    # (pattern order preserved: the per-category value list dedups in
+    # insertion order, so guards may only skip, never reorder)
+    has_at = "@" in text or "＠" in text
+    if has_at:  # email_std requires a (full-width) @
+        for m in RX["email_std"].finditer(text):
+            email = m.group(0).strip()
+            lower = email.lower()
+            if any(bad in lower for bad in _EMAIL_DOMAIN_BLOCKLIST):
+                continue
+            if _EMAIL_ROLE_PREFIX.match(lower):
+                continue
+            out.take("이메일", email, *m.span())
+    # obfuscated @: requires one of "[at]"/"(at)"/"{at}" (any case) or 골뱅이
+    if "[" in text or "(" in text or "{" in text or "골뱅이" in text:
+        for m in RX["email_obfuscated"].finditer(text):
+            out.take("이메일", m.group(0).strip(), *m.span())
+    if has_at:  # email_masked requires a plain @
+        for m in RX["email_masked"].finditer(text):
             out.take("이메일", m.group(0).strip(), *m.span())
 
     # -- IP주소: v4 with blocklist + private-range context suppression -----
@@ -280,10 +295,11 @@ def detect_pii(text: str) -> tuple[dict[str, list[str] | None], list[PiiSpan]]:
             if any(marker in window for marker in _NETWORK_CONTEXT_MARKERS):
                 continue
         out.take("IP주소", f"{ip}:{port}" if port else ip, *m.span())
-    for m in RX["ipv6"].finditer(text):
-        if m.group(0) == "::1":
-            continue
-        out.take("IP주소", m.group(0), *m.span())
+    if ":" in text:  # every ipv6 alternative contains a colon
+        for m in RX["ipv6"].finditer(text):
+            if m.group(0) == "::1":
+                continue
+            out.take("IP주소", m.group(0), *m.span())
 
     # -- 전화번호: five pattern families, then service-number filtering ----
     phone_hits: list[tuple[str, int, int]] = []
@@ -321,8 +337,11 @@ def detect_pii(text: str) -> tuple[dict[str, list[str] | None], list[PiiSpan]]:
 
     # -- 카드번호: grouped, masked, and crypto addresses (BTC/ETH filed
     #    under card per the reference normalization convention) ------------
-    for key in ("card_grouped", "card_masked", "btc", "eth"):
+    for key in ("card_grouped", "card_masked", "btc"):
         for m in RX[key].finditer(text):
+            out.take("카드번호", m.group(0), *m.span())
+    if "0x" in text:  # eth requires the literal 0x prefix (case-sensitive)
+        for m in RX["eth"].finditer(text):
             out.take("카드번호", m.group(0), *m.span())
 
     # -- 생년월일: label-anchored capture ----------------------------------
