@@ -335,15 +335,20 @@ def main() -> None:
             w_small = min(r["wall_small"] for r in rs)
             w_large = min(r["wall_large"] for r in rs)
             raw = d_large / w_large
-            if w_large > w_small * 1.05:
-                steady = (d_large - d_small) / (w_large - w_small)
-            else:  # jitter swamped the size difference; fall back to raw
+            fallback = w_large <= w_small * 1.05
+            if fallback:
+                # Jitter swamped the size difference; fall back to raw.
+                # Flagged in the output — a "steady-state" efficiency mixing
+                # marginal and raw estimators must be readable as such.
                 steady = raw
+            else:
+                steady = (d_large - d_small) / (w_large - w_small)
             return {
                 "wall_small": w_small,
                 "wall_large": w_large,
                 "raw_docs_per_sec": round(raw, 1),
                 "steady_docs_per_sec": round(steady, 1),
+                "steady_fell_back_to_raw": fallback,
             }
 
         stats = {n: level_stats(rs) for n, rs in runs.items()}
@@ -368,6 +373,9 @@ def main() -> None:
             "raw_efficiency": round(raw_speedup / (hi / lo), 3),
             "docs_small": d_small,
             "docs_large": d_large,
+            "steady_fallback_levels": [
+                n for n in (lo, hi) if stats[n]["steady_fell_back_to_raw"]
+            ],
             "runs_per_level": n_runs,
             "all_runs": {
                 str(n): [[r["wall_small"], r["wall_large"]] for r in rs]

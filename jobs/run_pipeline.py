@@ -49,14 +49,10 @@ def main() -> None:
     from pii_detection_test_ray.state.lineage import resumable_run
 
     if args.actors_per_model_stage <= 0:
-        auto = PipelineOptions.auto()
-        opts = PipelineOptions(
-            batch_size=args.batch_size,
-            langid_actors=auto.langid_actors,
-            ppl_actors=auto.ppl_actors,
-            classifier_actors=auto.classifier_actors,
-            actor_num_cpus=auto.actor_num_cpus,
-            fuse_model_stages=auto.fuse_model_stages,
+        import dataclasses
+
+        opts = dataclasses.replace(
+            PipelineOptions.auto(), batch_size=args.batch_size
         )
     else:
         opts = PipelineOptions(

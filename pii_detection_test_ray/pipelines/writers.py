@@ -136,14 +136,16 @@ def write_report(
     metric_rows: ray.data.Dataset,
     out_dir: str,
     title: str = "PII evaluation report",
+    sections: dict | None = None,
 ) -> dict:
     """S6 (reference: generate_report.py:130-728): evaluation report over the
     metric rows — summary cards, per-category table, difficulty table,
     binary confusion matrix, worst failures — written as ``report.md`` plus
     a minimal static ``report.html`` (tables only, no JS). All aggregation
-    is distributed; the driver renders a few dozen rows."""
+    is distributed; the driver renders a few dozen rows. Pass ``sections``
+    (this function's return value) to reuse rollups across writers."""
     os.makedirs(out_dir, exist_ok=True)
-    sec = _report_sections(metric_rows)
+    sec = sections if sections is not None else _report_sections(metric_rows)
     s = sec["summary"]
     md = [
         f"# {title}",
@@ -233,16 +235,22 @@ def write_report(
     return sec
 
 
-def write_charts(metric_rows: ray.data.Dataset, out_dir: str) -> list[str]:
+def write_charts(
+    metric_rows: ray.data.Dataset,
+    out_dir: str,
+    sections: dict | None = None,
+) -> list[str]:
     """S7 (reference: generate_charts.py:128-437): chart outputs over the
     metric rows. The data series (per-category F1 bars, base-vs-advanced
     grouped bars, confusion heatmap grid) are computed distributed and
     always written as ``charts/*.json``; PNG rendering additionally runs
     when matplotlib is importable (absent in this container — the JSON is
-    the portable artifact). Returns the list of files written."""
+    the portable artifact). Returns the list of files written. Pass
+    ``sections`` (write_report's return value) to avoid recomputing the
+    five distributed rollups when writing report + charts together."""
     charts_dir = os.path.join(out_dir, "charts")
     os.makedirs(charts_dir, exist_ok=True)
-    sec = _report_sections(metric_rows)
+    sec = sections if sections is not None else _report_sections(metric_rows)
     written: list[str] = []
 
     specs = {

@@ -24,8 +24,6 @@ agreement is undefined in SQL — dedupe the right side first;
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -33,12 +31,21 @@ import ray.data
 
 
 def _ts_to_i64(arr) -> np.ndarray:
-    """Timestamp/int column → int64 numpy (timestamps in microseconds)."""
+    """Temporal/int column → int64 numpy (timestamps in microseconds).
+    Handles DATE columns too (date32 has no direct int64 cast — go through
+    timestamp). Callers must have dropped null entries first: int64-with-
+    null becomes float NaN in numpy, and searchsorted treats NaN as +inf."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if pa.types.is_timestamp(arr.type):
+    if pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type):
         arr = arr.cast(pa.timestamp("us"))
     return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _valid_mask(tbl: pa.Table, key: str, ts_col: str) -> pa.ChunkedArray:
+    """Rows usable in an as-of comparison: non-null key AND non-null ts
+    (SQL semantics — a NULL key never equals, a NULL ts never compares)."""
+    return pc.and_(pc.is_valid(tbl.column(key)), pc.is_valid(tbl.column(ts_col)))
 
 
 def _key_codes(*key_arrays: np.ndarray) -> list[np.ndarray]:
@@ -54,12 +61,10 @@ def _key_codes(*key_arrays: np.ndarray) -> list[np.ndarray]:
 
 
 def _add_bucket(batch: pa.Table, key: str, num_buckets: int) -> pa.Table:
+    from .joins import _bucket_of  # single definition of the bucket hash
+
     buckets = [
-        int.from_bytes(
-            hashlib.blake2b(str(v).encode(), digest_size=4).digest(), "big"
-        )
-        % num_buckets
-        for v in batch.column(key).to_pylist()
+        _bucket_of(v, num_buckets) for v in batch.column(key).to_pylist()
     ]
     return batch.append_column("__bucket", pa.array(buckets, pa.int32()))
 
@@ -132,16 +137,27 @@ def asof_join(
 
     def join_bucket(group: pa.Table) -> pa.Table:
         is_r = group.column("__is_r")
-        l_rows = group.filter(pc.invert(is_r))
+        l_all = group.filter(pc.invert(is_r))
+        # Null key / null ts rows never participate (SQL comparison
+        # semantics): drop them from the right; on the left they are
+        # unmatched — dropped when inner, kept-with-nulls when left join.
         r_rows = group.filter(is_r)
+        r_rows = r_rows.filter(_valid_mask(r_rows, key, "__rts"))
+        l_ok = _valid_mask(l_all, key, left_ts)
+        l_rows = l_all.filter(l_ok)
+        l_unmatched = None if inner else l_all.filter(pc.invert(l_ok))
         l_out = l_rows.select(left_cols)
-        if r_rows.num_rows == 0 or l_rows.num_rows == 0:
-            if inner or l_rows.num_rows == 0:
-                return group.slice(0, 0).select(all_cols)
-            out = l_out
+
+        def with_null_right(rows: pa.Table) -> pa.Table:
+            out = rows.select(left_cols)
             for c in r_value_cols:
                 out = out.append_column(c, pa.nulls(out.num_rows, r_types[c]))
             return out.select(all_cols)
+
+        if r_rows.num_rows == 0 or l_rows.num_rows == 0:
+            if inner:
+                return group.slice(0, 0).select(all_cols)
+            return with_null_right(l_all)
 
         l_keys = l_rows.column(key).to_numpy(zero_copy_only=False)
         r_keys = r_rows.column(key).to_numpy(zero_copy_only=False)
@@ -191,7 +207,10 @@ def asof_join(
                 pa.nulls(len(matched), r_types[c]),
             )
             out = out.append_column(c, vals)
-        return out.select(all_cols)
+        out = out.select(all_cols)
+        if l_unmatched is not None and l_unmatched.num_rows:
+            out = pa.concat_tables([out, with_null_right(l_unmatched)])
+        return out
 
     return (
         tagged.groupby("__bucket")
@@ -216,6 +235,12 @@ def latest_per_key_ts(
         num_buckets = _num_buckets_for(ds)
 
     def reduce_bucket(group: pa.Table) -> pa.Table:
+        # Null key / null ts rows can never be "the latest right row for a
+        # key" in an as-of comparison — drop them here (matches filtering
+        # them on the right side of asof_join).
+        group = group.filter(_valid_mask(group, key, ts_col))
+        if group.num_rows == 0:
+            return group.drop_columns(["__bucket"])
         keys = group.column(key).to_numpy(zero_copy_only=False)
         (code,) = _key_codes(keys)
         ts = _ts_to_i64(group.column(ts_col))

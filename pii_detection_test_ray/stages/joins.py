@@ -61,16 +61,7 @@ def _auto_num_buckets(*sides: ray.data.Dataset) -> int:
     """Size B from input bytes (file metadata only — never executes the
     plan): one bucket per ~128 MiB of input, floored at the CPU count so
     small joins still parallelize, capped so tasks don't become crumbs."""
-    total = 0
-    for ds in sides:
-        try:
-            for f in ds.input_files():
-                try:
-                    total += os.path.getsize(f)
-                except OSError:
-                    pass
-        except Exception:  # non-file-backed (from_items etc.)
-            pass
+    total = sum(_input_bytes(ds) or 0 for ds in sides)
     cpus = int(ray.cluster_resources().get("CPU", 8))
     by_size = total // _TARGET_BUCKET_BYTES + 1
     return int(min(65536, max(cpus, by_size)))
@@ -167,8 +158,10 @@ def broadcast_hash_join(
     shipped via ``ray.put``. Handles duplicate right keys (row fan-out) and
     preserves declared column types. Use only when the right side is known
     small — ``hash_join`` routes here below the broadcast threshold."""
+    if left.schema() is None:  # schema-less ⇒ no probe rows ⇒ inner join ∅
+        return left
     r_schema = right.schema()
-    if right.schema() is None:  # schema-less ⇒ no build rows ⇒ inner join ∅
+    if r_schema is None:  # schema-less ⇒ no build rows ⇒ inner join ∅
         return left.limit(0)
     right_cols = [c for c in r_schema.names if c != key]
     right_types = {

@@ -20,7 +20,10 @@ def _hex_threshold(rate: float) -> str:
     numeric order at fixed width)."""
     if rate >= 1.0:
         return "ffffx"  # lexicographically above every 4-digit hex prefix
-    return format(max(0, int(round(rate * 65536))), "04x")
+    n = max(0, int(round(rate * 65536)))
+    if n >= 65536:  # rates in [65535.5/65536, 1.0) round up to 65536, which
+        return "ffffx"  # would format as 5-char "10000" and break the compare
+    return format(n, "04x")
 
 
 def stratified_hash_sample(

@@ -74,6 +74,55 @@ def test_asof_join_key_without_right_rows(ray_session):
     assert outer == [(1, "x"), (2, None)]
 
 
+def test_asof_join_date32_timestamps(ray_session):
+    """DATE-typed ts columns (e.g. TPC-H o_orderdate as date32) must work:
+    date32 has no direct int64 cast in Arrow — regression for the
+    ArrowNotImplementedError path."""
+    import pyarrow as pa
+
+    from pii_detection_test_ray.stages.asof import asof_join
+
+    lds = ray.data.from_arrow(
+        pa.table({"k": [1, 1], "t": pa.array([19000, 19010], pa.date32()),
+                  "lv": [0, 1]})
+    )
+    rds = ray.data.from_arrow(
+        pa.table({"k": [1], "t2": pa.array([19005], pa.date32()), "rv": ["x"]})
+    )
+    got = sorted(
+        (r["lv"], r["rv"])
+        for r in asof_join(lds, rds, "k", "t", "t2", inner=False).take_all()
+    )
+    assert got == [(0, None), (1, "x")]
+
+
+def test_asof_join_null_timestamps_never_match(ray_session):
+    """SQL semantics: a NULL ts compares false — the left row drops under
+    inner (not silently matching the latest right row) and survives with
+    nulls under left join; null-ts right rows are never match targets."""
+    import pyarrow as pa
+
+    from pii_detection_test_ray.stages.asof import asof_join
+
+    lds = ray.data.from_arrow(
+        pa.table({"k": [1, 1],
+                  "t": pa.array([None, 200], pa.timestamp("us")), "lv": [0, 1]})
+    )
+    rds = ray.data.from_arrow(
+        pa.table({"k": [1, 1],
+                  "t2": pa.array([100, None], pa.timestamp("us")),
+                  "rv": ["x", "nullts"]})
+    )
+    inner = [(r["lv"], r["rv"])
+             for r in asof_join(lds, rds, "k", "t", "t2", inner=True).take_all()]
+    assert inner == [(1, "x")]
+    outer = sorted(
+        (r["lv"], r["rv"])
+        for r in asof_join(lds, rds, "k", "t", "t2", inner=False).take_all()
+    )
+    assert outer == [(0, None), (1, "x")]
+
+
 def test_latest_per_key_ts(ray_session):
     from pii_detection_test_ray.stages.asof import latest_per_key_ts
 

@@ -125,6 +125,17 @@ def test_bucketed_anti_join_empty_key_side(ray_session):
     assert sorted(r["id"] for r in out) == list(range(10))
 
 
+def test_broadcast_hash_join_schemaless_left(ray_session):
+    """A fully-filtered (schema-less) probe side degrades to empty output —
+    same contract as the bucketed path, so the adaptive router's behavior
+    does not depend on which strategy it picks."""
+    from pii_detection_test_ray.stages.joins import broadcast_hash_join
+
+    left = ray.data.from_items([{"k": 1, "lv": 2}]).filter(lambda r: False)
+    right = ray.data.from_items([{"k": 1, "rv": 3}])
+    assert broadcast_hash_join(left, right, key="k").take_all() == []
+
+
 def test_broadcast_hash_join_duplicate_keys(ray_session):
     """Broadcast inner join fans out on duplicate build-side keys and
     preserves declared dtypes."""

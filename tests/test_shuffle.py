@@ -94,3 +94,15 @@ def test_stratified_hash_sample(ray_session):
         assert 800 < ko < 1200    # ~1000 of 2000
         assert 120 < en < 280     # ~200 of 2000
     assert kept_sets[0] == kept_sets[1]  # partitioning-invariant
+
+
+def test_hex_threshold_near_one():
+    """Rates just under 1.0 round to 65536, which must keep ~everything —
+    not format as 5-char '10000' and keep ~6% (lexicographic rollover)."""
+    from pii_detection_test_ray.stages.sampling import _hex_threshold
+
+    assert _hex_threshold(0.999995) == "ffffx"
+    assert _hex_threshold(1.0) == "ffffx"
+    assert "abcd" < _hex_threshold(0.999995)
+    assert _hex_threshold(0.5) == "8000"
+    assert _hex_threshold(0.0) == "0000"

@@ -126,7 +126,7 @@ def test_write_report_and_charts(rows_and_corpus, tmp_path):
     assert len(sec["by_category"]) == 12
     assert "<table>" in open(f"{out}/report.html", encoding="utf-8").read()
 
-    files = write_charts(rows, out)
+    files = write_charts(rows, out, sections=sec)  # reuses report rollups
     assert {os.path.basename(f) for f in files} >= {
         "f1_by_category.json", "difficulty_accuracy.json", "confusion_grid.json"
     }
