@@ -255,6 +255,74 @@ def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
     return kept.select_columns(["lang", "doc_id"])
 
 
+def q_decontaminate_substring(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination, exact-phrase variant (SQL-verifiable):
+    a deterministic ~1/16 hash split of `documents` plays the benchmark
+    (md5-prefix '0', same predicate as `deterministic_sample`); each bench
+    doc contributes its 24-char signature phrase; corpus docs containing
+    any phrase are contaminated. Phrases broadcast once (the eval set is
+    the small side by definition); the corpus streams map-only."""
+    from ..stages.decontaminate import substring_contamination
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(batch: pa.Table, want_bench: bool) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        is_bench = [text_fingerprint_md5(t).startswith("0") for t in texts]
+        mask = pa.array(is_bench if want_bench else [not b for b in is_bench])
+        return batch.filter(mask)
+
+    bench = docs.map_batches(
+        lambda b: split(b, True), batch_format="pyarrow"
+    )
+    corpus = docs.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow"
+    )
+    def to_phrases(batch: pa.Table) -> pa.Table:
+        ph = [
+            t.strip()[:24]
+            for t in batch.column("text").to_pylist()
+            if len(t.strip()) >= 24
+        ]
+        return pa.table({"phrase": pa.array(sorted(set(ph)), pa.string())})
+
+    # Only 24-char phrases (not full bench texts) reach the driver.
+    phrases = [
+        r["phrase"] for r in bench.map_batches(
+            to_phrases, batch_format="pyarrow"
+        ).take_all()
+    ]
+    return substring_contamination(corpus, phrases, "text", "doc_id")
+
+
+def q_decontaminate_ngram(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination, token-8-gram variant (the published
+    method: GPT-3 appendix C / The Pile §6.2). Same bench/corpus hash
+    split; bench n-gram hashes dedup distributed and broadcast sorted;
+    per corpus doc one vectorized np.isin counts overlapping 8-grams.
+    Rows-only (n-gram hashing is not SQL-expressible); semantics pinned by
+    a pure-Python oracle in tests."""
+    from ..stages.decontaminate import (
+        benchmark_ngram_index,
+        ngram_contamination,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(batch: pa.Table, want_bench: bool) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        is_bench = [text_fingerprint_md5(t).startswith("0") for t in texts]
+        mask = pa.array(is_bench if want_bench else [not b for b in is_bench])
+        return batch.filter(mask)
+
+    bench = docs.map_batches(lambda b: split(b, True), batch_format="pyarrow")
+    corpus = docs.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow"
+    )
+    index = benchmark_ngram_index(bench, "text", n=8)
+    return ngram_contamination(corpus, index, "text", "doc_id", n=8)
+
+
 def q_top_longest(sf_dir: str) -> ray.data.Dataset:
     """Sort + limit (O1/O2 shape): 20 longest docs."""
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
@@ -1246,7 +1314,9 @@ QUERIES = {
     "sessionize": q_sessionize,
     "top_docs_per_lang": q_top_docs_per_lang,
     "knn_cosine": q_knn_cosine,
+    "decontaminate_substring": q_decontaminate_substring,
     # rows-only
+    "decontaminate_ngram": q_decontaminate_ngram,
     "doc_signatures": q_doc_signatures,
     "pii_scrub_corpus": q_pii_scrub_corpus,
     "pii_eval_rollup": q_pii_eval_rollup,

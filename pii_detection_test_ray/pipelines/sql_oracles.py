@@ -81,6 +81,22 @@ ORACLES: dict[str, str] = {
         FROM documents
         WHERE md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) LIKE '0%'
     """,
+    "decontaminate_substring": """
+        WITH bench AS (
+            SELECT DISTINCT substr(trim(text), 1, 24) AS phrase
+            FROM documents
+            WHERE md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) LIKE '0%'
+              AND length(trim(text)) >= 24
+        ),
+        corpus AS (
+            SELECT doc_id, text
+            FROM documents
+            WHERE md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) NOT LIKE '0%'
+        )
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM corpus c JOIN bench b ON contains(c.text, b.phrase)
+        GROUP BY c.doc_id
+    """,
     "stratified_sample": """
         SELECT lang, doc_id
         FROM documents

@@ -1,0 +1,146 @@
+"""Benchmark decontamination: flag corpus documents that overlap an
+evaluation/benchmark set — the pre-training hygiene step (GPT-3 appendix C,
+The Pile §6.2, PaLM §7) that keeps eval answers out of training data. The
+reference stack has no analog (SURVEY §2 extension; sibling of the dedup
+family in COVERAGE "beyond-reference" ops).
+
+Two operators, both shuffle-free:
+
+* ``substring_contamination`` — exact signature-phrase containment,
+  SQL-verifiable (DuckDB ``contains``). The phrase list is the SMALL side
+  (an eval set is thousands of docs at most): collected once, broadcast via
+  ``ray.put``, scanned per Arrow batch with one vectorized
+  ``pc.match_substring`` pass per phrase.
+* ``ngram_contamination`` — token n-gram hash overlap (the published
+  decontamination method: a doc is contaminated when it shares any n-gram
+  with the benchmark). Token hashes are crc32 (deterministic across
+  processes, unlike Python ``hash``); n-gram hashes are a polynomial roll
+  over a numpy sliding window (vectorized, uint64 wraparound); membership
+  is one ``np.isin`` against the sorted broadcast benchmark array.
+
+Partitioning assumption (documented like the joins): the benchmark side
+fits in one broadcast object — true by definition of an eval set. The
+corpus side streams map-only, so both operators scale with corpus size
+like any other batch filter: zero shuffle, no driver materialization of
+anything corpus-sized.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.quality import tokenize_ws
+
+# Polynomial base for the n-gram roll; any odd 64-bit constant works
+# (uint64 multiplication wraps, which is the intended modulus).
+_NGRAM_BASE = np.uint64(1099511628211)
+
+
+def ngram_hashes(text: str, n: int = 8) -> np.ndarray:
+    """uint64 hashes of all whitespace-token n-grams of ``text`` (empty
+    array when the doc has fewer than ``n`` tokens)."""
+    tokens = tokenize_ws(text)
+    if len(tokens) < n:
+        return np.empty(0, np.uint64)
+    th = np.fromiter(
+        (zlib.crc32(t.encode()) for t in tokens), np.uint64, len(tokens)
+    )
+    windows = np.lib.stride_tricks.sliding_window_view(th, n)
+    powers = _NGRAM_BASE ** np.arange(n, dtype=np.uint64)
+    return windows @ powers  # uint64 dot: wraps mod 2^64
+
+
+def benchmark_ngram_index(
+    bench: ray.data.Dataset, text_col: str, n: int = 8
+) -> "ray.ObjectRef":
+    """Sorted unique n-gram hash array of the benchmark set, as a broadcast
+    object ref. Per-batch partials are unique'd distributed; only deduped
+    hash arrays (8 bytes per distinct n-gram of the SMALL side) reach the
+    driver."""
+    partials = bench.map_batches(
+        lambda b: pa.table(
+            {
+                "h": pa.array(
+                    np.unique(
+                        np.concatenate(
+                            [ngram_hashes(t, n) for t in b.column(text_col).to_pylist()]
+                            or [np.empty(0, np.uint64)]
+                        )
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    arrays = [
+        blk.column("h").to_numpy(zero_copy_only=False)
+        for blk in partials.iter_batches(batch_format="pyarrow")
+    ]
+    merged = (
+        np.unique(np.concatenate(arrays)) if arrays else np.empty(0, np.uint64)
+    )
+    return ray.put(merged)
+
+
+def ngram_contamination(
+    corpus: ray.data.Dataset,
+    bench_index: "ray.ObjectRef",
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> ray.data.Dataset:
+    """Per corpus doc: the number of its n-grams that appear anywhere in
+    the benchmark (``n_overlap``) — rows with ``n_overlap > 0`` are
+    contaminated. Output: (id_col, n_overlap), contaminated rows only."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        bench_sorted = ray.get(bench_index)
+        counts = []
+        for text in batch.column(text_col).to_pylist():
+            grams = ngram_hashes(text, n)
+            if grams.size == 0 or bench_sorted.size == 0:
+                counts.append(0)
+                continue
+            counts.append(int(np.isin(grams, bench_sorted).sum()))
+        out = pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_overlap": pa.array(counts, pa.int64()),
+            }
+        )
+        return out.filter(pc.greater(out.column("n_overlap"), 0))
+
+    return corpus.map_batches(score, batch_format="pyarrow")
+
+
+def substring_contamination(
+    corpus: ray.data.Dataset,
+    phrases: list[str],
+    text_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Per corpus doc: how many of the (deduped) signature ``phrases``
+    appear verbatim in its text (``n_hits``); contaminated rows only.
+    Matches DuckDB ``JOIN bench ON contains(text, phrase) GROUP BY doc``
+    with distinct phrases."""
+    uniq = sorted(set(phrases))
+    ref = ray.put(uniq)
+
+    def score(batch: pa.Table) -> pa.Table:
+        hits = np.zeros(batch.num_rows, np.int64)
+        col = batch.column(text_col)
+        for phrase in ray.get(ref):
+            mask = pc.match_substring(col, phrase)
+            hits += pc.cast(mask, pa.int64()).to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {id_col: batch.column(id_col), "n_hits": pa.array(hits, pa.int64())}
+        )
+        return out.filter(pc.greater(out.column("n_hits"), 0))
+
+    return corpus.map_batches(score, batch_format="pyarrow")

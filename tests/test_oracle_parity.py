@@ -33,6 +33,7 @@ QUERY_SLICE = [
     "value_bands",
     "events_rollup",
     "orders_by_month",
+    "decontaminate_substring",
 ]
 
 
