@@ -89,6 +89,23 @@ def duplicate_line_ratio(text: str) -> float:
     return 1.0 - len(set(lines)) / len(lines)
 
 
+def dedup_lines(text: str) -> tuple[str, int]:
+    """Within-page repetition scrub (the RefinedWeb/Gopher line-dedup move):
+    drop exact repeats of non-empty lines beyond their first occurrence;
+    whitespace-only lines always survive (they carry paragraph structure).
+    Returns ``(clean_text, n_removed)``. Semantics are SQL-expressible
+    (DuckDB ``list_filter`` + ``list_position``), so the corresponding
+    query is oracle-paired."""
+    lines = text.split("\n")
+    out = []
+    seen: set[str] = set()
+    for line in lines:
+        if not line.strip() or line not in seen:
+            out.append(line)
+        seen.add(line)
+    return "\n".join(out), len(lines) - len(out)
+
+
 def quality_features(text: str) -> dict[str, float]:
     """All stateless quality features for one document."""
     from .toxicity import toxicity_score

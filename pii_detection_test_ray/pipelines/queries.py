@@ -323,6 +323,32 @@ def q_decontaminate_ngram(sf_dir: str) -> ray.data.Dataset:
     return ngram_contamination(corpus, index, "text", "doc_id", n=8)
 
 
+def q_dedup_page_lines(sf_dir: str) -> ray.data.Dataset:
+    """Per-row TRANSFORM oracle (not an aggregate): within-page repeated-
+    line removal — the RefinedWeb/Gopher cleanup that strips boilerplate
+    repetition (nav menus, footers) without touching paragraph structure.
+    The rewritten text itself is hash-compared against DuckDB."""
+    from ..functions.quality import dedup_lines
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def clean(batch: pa.Table) -> pa.Table:
+        cleaned, removed = [], []
+        for t in batch.column("text").to_pylist():
+            c, n = dedup_lines(t)
+            cleaned.append(c)
+            removed.append(n)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "clean_text": pa.array(cleaned, pa.string()),
+                "n_removed": pa.array(removed, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
 def q_top_longest(sf_dir: str) -> ray.data.Dataset:
     """Sort + limit (O1/O2 shape): 20 longest docs."""
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
@@ -1315,6 +1341,7 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "knn_cosine": q_knn_cosine,
     "decontaminate_substring": q_decontaminate_substring,
+    "dedup_page_lines": q_dedup_page_lines,
     # rows-only
     "decontaminate_ngram": q_decontaminate_ngram,
     "doc_signatures": q_doc_signatures,

@@ -97,6 +97,18 @@ ORACLES: dict[str, str] = {
         FROM corpus c JOIN bench b ON contains(c.text, b.phrase)
         GROUP BY c.doc_id
     """,
+    "dedup_page_lines": """
+        SELECT doc_id,
+               array_to_string(
+                   list_filter(lines,
+                       (l, i) -> trim(l) = '' OR list_position(lines, l) = i),
+                   chr(10)) AS clean_text,
+               CAST(len(lines) - len(list_filter(lines,
+                       (l, i) -> trim(l) = '' OR list_position(lines, l) = i))
+                    AS BIGINT) AS n_removed
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+              FROM documents)
+    """,
     "stratified_sample": """
         SELECT lang, doc_id
         FROM documents

@@ -151,6 +151,17 @@ class TestQuality:
     def test_distinct_word_ratio(self):
         assert distinct_word_ratio("a a a a") == 0.25
 
+    def test_dedup_lines(self):
+        from pii_detection_test_ray.functions.quality import dedup_lines
+
+        text = "menu\nbody one\n\nmenu\nbody two\nmenu\n\n   \nbody one"
+        clean, removed = dedup_lines(text)
+        # non-empty repeats drop; blank/whitespace-only lines all survive
+        assert clean == "menu\nbody one\n\nbody two\n\n   "
+        assert removed == 3
+        assert dedup_lines("") == ("", 0)
+        assert dedup_lines("a\nb") == ("a\nb", 0)
+
     def test_gate_reasons(self):
         cfg = QualityConfig()
         feats = quality_features("x")

@@ -34,6 +34,7 @@ QUERY_SLICE = [
     "events_rollup",
     "orders_by_month",
     "decontaminate_substring",
+    "dedup_page_lines",
 ]
 
 
