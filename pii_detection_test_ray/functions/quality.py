@@ -89,6 +89,20 @@ def duplicate_line_ratio(text: str) -> float:
     return 1.0 - len(set(lines)) / len(lines)
 
 
+# GPT-2-style pre-tokenizer shape (optional leading space + letter run /
+# digit run / symbol run), restricted to explicit character ranges so
+# Python re and DuckDB RE2 agree exactly (unicode \p classes differ
+# between engines; these ranges don't — verified corpus-wide).
+BPE_TOKEN_RE = re.compile(r" ?[A-Za-z가-힣]+| ?[0-9]+| ?[^\sA-Za-z가-힣0-9]+")
+
+
+def token_count_bpe(text: str) -> int:
+    """BPE-ish token count: the pre-tokenization granularity LLM token
+    budgets are estimated at (≈ tokens before merges). SQL-verifiable via
+    DuckDB regexp_extract_all with the identical pattern."""
+    return len(BPE_TOKEN_RE.findall(text))
+
+
 def dedup_lines(text: str) -> tuple[str, int]:
     """Within-page repetition scrub (the RefinedWeb/Gopher line-dedup move):
     drop exact repeats of non-empty lines beyond their first occurrence;

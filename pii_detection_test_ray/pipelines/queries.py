@@ -196,6 +196,35 @@ def q_token_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """BPE-ish token budget per language (GPT-2-style pre-tokenizer runs —
+    the granularity LLM training budgets are estimated at). Combiner
+    aggregation; the regex is range-restricted so Python re and DuckDB RE2
+    count identically (verified corpus-wide)."""
+    from ..functions.quality import token_count_bpe
+    from ..stages.shuffle import partial_groupby_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def tok(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "bpe_tokens": pa.array(
+                    [token_count_bpe(t) for t in batch.column("text").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return partial_groupby_sum(
+        ds.map_batches(tok, batch_format="pyarrow"),
+        ["lang"],
+        ["bpe_tokens"],
+        count_as="n_docs",
+    )
+
+
 def q_symbol_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-source symbol (non-alphanumeric, non-space) character totals —
     the symbol-ratio gate feature, SQL-cross-checked."""
@@ -1313,6 +1342,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "fingerprints": q_fingerprints,
     "token_counts": q_token_counts,
+    "bpe_token_counts": q_bpe_token_counts,
     "symbol_stats": q_symbol_stats,
     "deterministic_sample": q_deterministic_sample,
     "stratified_sample": q_stratified_sample,

@@ -53,6 +53,15 @@ ORACLES: dict[str, str] = {
                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
         FROM documents
     """,
+    "bpe_token_counts": """
+        SELECT lang,
+               CAST(sum(len(regexp_extract_all(
+                   text, ' ?[A-Za-z가-힣]+| ?[0-9]+| ?[^\\sA-Za-z가-힣0-9]+'
+               ))) AS BIGINT) AS bpe_tokens,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY lang
+    """,
     "token_counts": """
         WITH toks AS (
             SELECT source,

@@ -151,6 +151,15 @@ class TestQuality:
     def test_distinct_word_ratio(self):
         assert distinct_word_ratio("a a a a") == 0.25
 
+    def test_token_count_bpe(self):
+        from pii_detection_test_ray.functions.quality import token_count_bpe
+
+        # runs: "Hello"," world","!"," 123"," 한국어"," test" = 6
+        assert token_count_bpe("Hello world! 123 한국어 test") == 6
+        assert token_count_bpe("") == 0
+        # mixed run splits: letters / digits / symbols are separate tokens
+        assert token_count_bpe("abc123!?") == 3
+
     def test_dedup_lines(self):
         from pii_detection_test_ray.functions.quality import dedup_lines
 
