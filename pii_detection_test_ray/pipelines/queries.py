@@ -956,6 +956,50 @@ def q_value_quantiles(sf_dir: str) -> ray.data.Dataset:
     return approx_quantiles_per_key(ds, "event_type", "value", qs=(0.5, 0.95))
 
 
+def q_embedding_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Semantic clustering rollup over the embeddings table (SemDeDup-style
+    partitioning): k-means assignment map pass, then a combiner rollup to
+    per-cluster size and mean centroid similarity. Rows-only (k-means is
+    not SQL-expressible); determinism + separation pinned in tests."""
+    from ..stages.similarity import embedding_clusters
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned = embedding_clusters(ds, n_clusters=8, sample_size=2048)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("cluster").aggregate(
+            [("centroid_sim", "sum"), ("vec_id", "count")]
+        )
+        return pa.table(
+            {
+                "cluster": t.column("cluster"),
+                "sim_sum": t.column("centroid_sim_sum"),
+                "n_vectors": pc.cast(t.column("vec_id_count"), pa.int64()),
+            }
+        )
+
+    agg = (
+        assigned.map_batches(partials, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("sim_sum"), Sum("n_vectors"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n_vectors)")
+        return pa.table(
+            {
+                "cluster": batch.column("cluster"),
+                "n_vectors": n,
+                "mean_centroid_sim": pc.round(
+                    pc.divide(batch.column("sum(sim_sum)"), pc.cast(n, pa.float64())),
+                    6,
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_heavy_hitter_users(sf_dir: str) -> ray.data.Dataset:
     """Top-5 most frequent users per event type via mergeable Misra-Gries
     summaries (rows-only; guarantees asserted in tests)."""
@@ -1388,6 +1432,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "knn_ivf": q_knn_ivf,
+    "embedding_clusters": q_embedding_clusters,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
 }

@@ -130,6 +130,44 @@ def kmeans_centroids(
     return centroids
 
 
+def embedding_clusters(
+    ds: ray.data.Dataset,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic partitioning: k-means centroids trained on a
+    bounded sample (broadcast once via ``ray.put``), then every vector is
+    assigned to its nearest centroid in ONE vectorized map pass (argmax of
+    a matmul per batch — no shuffle). Output per row: (id, cluster,
+    centroid_sim). Downstream semantic dedup keeps one representative per
+    tight cluster, and the cluster id doubles as a co-location key for
+    per-cluster work."""
+    sample_rows = ds.limit(sample_size).select_columns([vec_col]).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    centroids = kmeans_centroids(sample, n_clusters, seed=seed)
+    ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        vecs = _normalize(_as_matrix(batch.column(vec_col)))
+        sims = vecs @ cents.T
+        best = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(best, pa.int64()),
+                "centroid_sim": pa.array(
+                    sims[np.arange(len(best)), best], pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def knn_ivf(
     ds: ray.data.Dataset,
     queries: np.ndarray,

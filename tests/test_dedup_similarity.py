@@ -111,6 +111,34 @@ def test_knn_brute_force_matches_numpy(ray_session):
     assert by_q[0][0] == 0  # self is nearest
 
 
+def test_embedding_clusters_separation_and_determinism(ray_session):
+    """Two well-separated synthetic blobs land in two distinct clusters,
+    every member with its blob-mates; assignment is partition-invariant."""
+    from pii_detection_test_ray.stages.similarity import embedding_clusters
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(60):
+        blob = i % 2
+        base = np.zeros(8)
+        base[blob] = 10.0
+        rows.append(
+            {"vec_id": i, "embedding": (base + rng.normal(0, 0.05, 8)).tolist()}
+        )
+    results = []
+    for blocks in (2, 6):
+        ds = ray.data.from_items(rows, override_num_blocks=blocks)
+        got = {
+            r["vec_id"]: r["cluster"]
+            for r in embedding_clusters(ds, n_clusters=2, sample_size=60).take_all()
+        }
+        results.append(got)
+        evens = {got[i] for i in range(0, 60, 2)}
+        odds = {got[i] for i in range(1, 60, 2)}
+        assert len(evens) == 1 and len(odds) == 1 and evens != odds
+    assert results[0] == results[1]  # deterministic across partitionings
+
+
 def test_knn_ivf_recall(ray_session):
     from pii_detection_test_ray.stages.similarity import knn_brute_force, knn_ivf
 
