@@ -69,7 +69,7 @@ def benchmark_ngram_index(
                 "h": pa.array(
                     np.unique(
                         np.concatenate(
-                            [ngram_hashes(t, n) for t in b.column(text_col).to_pylist()]
+                            [ngram_hashes(t or "", n) for t in b.column(text_col).to_pylist()]
                             or [np.empty(0, np.uint64)]
                         )
                     )
@@ -103,7 +103,7 @@ def ngram_contamination(
         bench_sorted = ray.get(bench_index)
         counts = []
         for text in batch.column(text_col).to_pylist():
-            grams = ngram_hashes(text, n)
+            grams = ngram_hashes(text or "", n)
             if grams.size == 0 or bench_sorted.size == 0:
                 counts.append(0)
                 continue
@@ -136,8 +136,9 @@ def substring_contamination(
         hits = np.zeros(batch.num_rows, np.int64)
         col = batch.column(text_col)
         for phrase in ray.get(ref):
-            mask = pc.match_substring(col, phrase)
-            hits += pc.cast(mask, pa.int64()).to_numpy(zero_copy_only=False)
+            # fill_null: a null text row must count 0, not poison the sum
+            mask = pc.fill_null(pc.match_substring(col, phrase), False)
+            hits += pc.cast(mask, pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
         out = pa.table(
             {id_col: batch.column(id_col), "n_hits": pa.array(hits, pa.int64())}
         )

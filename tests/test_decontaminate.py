@@ -106,3 +106,22 @@ def test_substring_contamination_matches_bruteforce(ray_session):
         for r in substring_contamination(cds, phrases, "text", "doc_id").take_all()
     }
     assert got == expected and 4 in got
+
+
+def test_contamination_null_and_empty_text(ray_session):
+    """Null/empty corpus texts count 0 hits (and never crash)."""
+    import pyarrow as pa
+
+    from pii_detection_test_ray.stages.decontaminate import (
+        benchmark_ngram_index,
+        ngram_contamination,
+        substring_contamination,
+    )
+
+    cds = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": pa.array([None, ""], pa.string())})
+    )
+    assert substring_contamination(cds, ["needle"], "text", "doc_id").take_all() == []
+    bds = ray.data.from_items([{"doc_id": 9, "text": "a b c d e f g h"}])
+    idx = benchmark_ngram_index(bds, "text", n=8)
+    assert ngram_contamination(cds, idx, "text", "doc_id", n=8).take_all() == []
