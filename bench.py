@@ -162,6 +162,8 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "events_asof_orders": Q.q_events_asof_orders,
         "value_bands": Q.q_value_bands,
         "stratified_sample": Q.q_stratified_sample,
+        "decontaminate_substring": Q.q_decontaminate_substring,
+        "dedup_page_lines": Q.q_dedup_page_lines,
     }
     for name, fn in suite.items():
         best = float("inf")
