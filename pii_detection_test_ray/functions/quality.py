@@ -91,9 +91,12 @@ def duplicate_line_ratio(text: str) -> float:
 
 # GPT-2-style pre-tokenizer shape (optional leading space + letter run /
 # digit run / symbol run), restricted to explicit character ranges so
-# Python re and DuckDB RE2 agree exactly (unicode \p classes differ
-# between engines; these ranges don't — verified corpus-wide).
-BPE_TOKEN_RE = re.compile(r" ?[A-Za-z가-힣]+| ?[0-9]+| ?[^\sA-Za-z가-힣0-9]+")
+# Python re and DuckDB RE2 agree exactly. This includes whitespace: \s is
+# Unicode-aware in Python but ASCII-only in RE2 (NBSP/U+3000 would count
+# differently), so the negated class spells out the ASCII whitespace set.
+BPE_TOKEN_RE = re.compile(
+    r" ?[A-Za-z가-힣]+| ?[0-9]+| ?[^ \t\n\r\x0b\x0cA-Za-z가-힣0-9]+"
+)
 
 
 def token_count_bpe(text: str) -> int:
@@ -103,18 +106,26 @@ def token_count_bpe(text: str) -> int:
     return len(BPE_TOKEN_RE.findall(text))
 
 
+# "Blank" for line-dedup purposes = only ASCII whitespace (space, tab, CR,
+# VT, FF — \n can't occur inside a split line). An explicit set, not
+# str.strip()'s Unicode one, because the DuckDB oracle must test the exact
+# same characters (trim() with this charlist); NBSP/U+3000-only lines are
+# deliberately treated as content on BOTH sides.
+_BLANK_CHARS = " \t\r\x0b\x0c"
+
+
 def dedup_lines(text: str) -> tuple[str, int]:
     """Within-page repetition scrub (the RefinedWeb/Gopher line-dedup move):
-    drop exact repeats of non-empty lines beyond their first occurrence;
-    whitespace-only lines always survive (they carry paragraph structure).
-    Returns ``(clean_text, n_removed)``. Semantics are SQL-expressible
-    (DuckDB ``list_filter`` + ``list_position``), so the corresponding
-    query is oracle-paired."""
+    drop exact repeats of non-blank lines beyond their first occurrence;
+    blank (ASCII-whitespace-only) lines always survive — they carry
+    paragraph structure. Returns ``(clean_text, n_removed)``. Semantics are
+    SQL-expressible (DuckDB ``list_filter`` + ``list_position`` + ``trim``
+    with the same charlist), so the corresponding query is oracle-paired."""
     lines = text.split("\n")
     out = []
     seen: set[str] = set()
     for line in lines:
-        if not line.strip() or line not in seen:
+        if not line.strip(_BLANK_CHARS) or line not in seen:
             out.append(line)
         seen.add(line)
     return "\n".join(out), len(lines) - len(out)

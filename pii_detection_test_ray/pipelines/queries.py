@@ -291,27 +291,18 @@ def q_decontaminate_substring(sf_dir: str) -> ray.data.Dataset:
     doc contributes its 24-char signature phrase; corpus docs containing
     any phrase are contaminated. Phrases broadcast once (the eval set is
     the small side by definition); the corpus streams map-only."""
-    from ..stages.decontaminate import substring_contamination
+    from ..stages.decontaminate import bench_corpus_split, substring_contamination
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench, corpus = bench_corpus_split(docs)
 
-    def split(batch: pa.Table, want_bench: bool) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        is_bench = [text_fingerprint_md5(t).startswith("0") for t in texts]
-        mask = pa.array(is_bench if want_bench else [not b for b in is_bench])
-        return batch.filter(mask)
-
-    bench = docs.map_batches(
-        lambda b: split(b, True), batch_format="pyarrow"
-    )
-    corpus = docs.map_batches(
-        lambda b: split(b, False), batch_format="pyarrow"
-    )
     def to_phrases(batch: pa.Table) -> pa.Table:
+        # strip(" ") not strip(): DuckDB trim() removes ASCII spaces only,
+        # and phrase bytes must agree with the oracle exactly.
         ph = [
-            t.strip()[:24]
+            t.strip(" ")[:24]
             for t in batch.column("text").to_pylist()
-            if len(t.strip()) >= 24
+            if len(t.strip(" ")) >= 24
         ]
         return pa.table({"phrase": pa.array(sorted(set(ph)), pa.string())})
 
@@ -332,22 +323,13 @@ def q_decontaminate_ngram(sf_dir: str) -> ray.data.Dataset:
     Rows-only (n-gram hashing is not SQL-expressible); semantics pinned by
     a pure-Python oracle in tests."""
     from ..stages.decontaminate import (
+        bench_corpus_split,
         benchmark_ngram_index,
         ngram_contamination,
     )
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def split(batch: pa.Table, want_bench: bool) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        is_bench = [text_fingerprint_md5(t).startswith("0") for t in texts]
-        mask = pa.array(is_bench if want_bench else [not b for b in is_bench])
-        return batch.filter(mask)
-
-    bench = docs.map_batches(lambda b: split(b, True), batch_format="pyarrow")
-    corpus = docs.map_batches(
-        lambda b: split(b, False), batch_format="pyarrow"
-    )
+    bench, corpus = bench_corpus_split(docs)
     index = benchmark_ngram_index(bench, "text", n=8)
     return ngram_contamination(corpus, index, "text", "doc_id", n=8)
 

@@ -56,7 +56,8 @@ ORACLES: dict[str, str] = {
     "bpe_token_counts": """
         SELECT lang,
                CAST(sum(len(regexp_extract_all(
-                   text, ' ?[A-Za-z가-힣]+| ?[0-9]+| ?[^\\sA-Za-z가-힣0-9]+'
+                   text,
+                   ' ?[A-Za-z가-힣]+| ?[0-9]+| ?[^ \\t\\n\\r\\x0b\\x0cA-Za-z가-힣0-9]+'
                ))) AS BIGINT) AS bpe_tokens,
                count(*) AS n_docs
         FROM documents
@@ -110,10 +111,14 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                array_to_string(
                    list_filter(lines,
-                       (l, i) -> trim(l) = '' OR list_position(lines, l) = i),
+                       (l, i) -> trim(l, ' ' || chr(9) || chr(13) || chr(11)
+                                         || chr(12)) = ''
+                                 OR list_position(lines, l) = i),
                    chr(10)) AS clean_text,
                CAST(len(lines) - len(list_filter(lines,
-                       (l, i) -> trim(l) = '' OR list_position(lines, l) = i))
+                       (l, i) -> trim(l, ' ' || chr(9) || chr(13) || chr(11)
+                                         || chr(12)) = ''
+                                 OR list_position(lines, l) = i))
                     AS BIGINT) AS n_removed
         FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
               FROM documents)

@@ -42,6 +42,37 @@ from ..functions.quality import tokenize_ws
 _NGRAM_BASE = np.uint64(1099511628211)
 
 
+def bench_corpus_split(
+    docs: ray.data.Dataset, text_col: str = "text"
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Deterministic ~1/16 hash split of a documents table into
+    (benchmark, corpus) — the md5-prefix predicate shared with
+    ``deterministic_sample`` so all three SQL oracles stay in lockstep.
+    NOTE: the two sides are independent scans of the same lineage (each
+    re-reads + re-fingerprints); at real scale the eval set is a separate
+    small table, not a split of the corpus, so the double scan is purely a
+    test-harness artifact."""
+    from ..functions.hashing import text_fingerprint_md5
+
+    def side(want_bench: bool):
+        def split(batch: pa.Table) -> pa.Table:
+            is_bench = [
+                text_fingerprint_md5(t or "").startswith("0")
+                for t in batch.column(text_col).to_pylist()
+            ]
+            keep = is_bench if want_bench else [not b for b in is_bench]
+            # typed mask: an untyped pa.array([]) is null-typed and
+            # filter() rejects it on empty batches
+            return batch.filter(pa.array(keep, pa.bool_()))
+
+        return split
+
+    return (
+        docs.map_batches(side(True), batch_format="pyarrow"),
+        docs.map_batches(side(False), batch_format="pyarrow"),
+    )
+
+
 def ngram_hashes(text: str, n: int = 8) -> np.ndarray:
     """uint64 hashes of all whitespace-token n-grams of ``text`` (empty
     array when the doc has fewer than ``n`` tokens)."""
@@ -101,13 +132,26 @@ def ngram_contamination(
 
     def score(batch: pa.Table) -> pa.Table:
         bench_sorted = ray.get(bench_index)
-        counts = []
-        for text in batch.column(text_col).to_pylist():
-            grams = ngram_hashes(text or "", n)
-            if grams.size == 0 or bench_sorted.size == 0:
-                counts.append(0)
-                continue
-            counts.append(int(np.isin(grams, bench_sorted).sum()))
+        per_doc = [
+            ngram_hashes(text or "", n)
+            for text in batch.column(text_col).to_pylist()
+        ]
+        lengths = np.array([g.size for g in per_doc], np.int64)
+        if lengths.sum() == 0 or bench_sorted.size == 0:
+            counts = np.zeros(len(per_doc), np.int64)
+        else:
+            # ONE membership pass per batch (np.isin re-sorts per call, so
+            # per-doc calls would pay that B times), then segment-sum the
+            # flat hit mask back to documents.
+            flat = np.concatenate(per_doc)
+            hits = np.isin(flat, bench_sorted).astype(np.int64)
+            starts = np.zeros(len(per_doc), np.int64)
+            np.cumsum(lengths[:-1], out=starts[1:])
+            counts = np.zeros(len(per_doc), np.int64)
+            nz = lengths > 0
+            if nz.any():
+                sums = np.add.reduceat(hits, starts[nz])
+                counts[nz] = sums
         out = pa.table(
             {
                 id_col: batch.column(id_col),

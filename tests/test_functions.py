@@ -171,6 +171,50 @@ class TestQuality:
         assert dedup_lines("") == ("", 0)
         assert dedup_lines("a\nb") == ("a\nb", 0)
 
+    def test_line_dedup_and_bpe_cross_engine_hostile_chars(self):
+        """The dedup_lines / token_count_bpe kernels must agree with their
+        DuckDB oracle formulations on characters where Python and RE2/SQL
+        defaults diverge: tab/CR/VT/FF-only lines (blank on both sides),
+        NBSP/U+3000-only lines (content on both sides), unicode spaces in
+        token runs. Guards the exact-contract latent bugs fixed in round 2."""
+        import pytest
+
+        duckdb = pytest.importorskip("duckdb")
+        from pii_detection_test_ray.functions.quality import (
+            dedup_lines,
+            token_count_bpe,
+        )
+
+        con = duckdb.connect()
+        sql_dedup = """
+        SELECT array_to_string(list_filter(lines,
+          (l, i) -> trim(l, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) = ''
+                    OR list_position(lines, l) = i), chr(10)),
+               len(lines) - len(list_filter(lines,
+          (l, i) -> trim(l, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) = ''
+                    OR list_position(lines, l) = i))
+        FROM (SELECT string_split(?, chr(10)) AS lines)
+        """
+        pat = (
+            " ?[A-Za-z가-힣]+| ?[0-9]+|"
+            " ?[^ \\t\\n\\r\\x0b\\x0cA-Za-z가-힣0-9]+"
+        )
+        hostile = [
+            "a\n\t\nb\n\t\na",
+            "x\n\xa0\ny\n\xa0\nx",
+            "p\r\nq\r\np\r\n",
+            "hello　world \xa0!",
+            "\x0b\n\x0b\nz",
+        ]
+        for t in hostile:
+            assert dedup_lines(t) == tuple(con.execute(sql_dedup, [t]).fetchone())
+            assert (
+                token_count_bpe(t)
+                == con.execute(
+                    "SELECT len(regexp_extract_all(?, ?))", [t, pat]
+                ).fetchone()[0]
+            )
+
     def test_gate_reasons(self):
         cfg = QualityConfig()
         feats = quality_features("x")

@@ -35,6 +35,7 @@ QUERY_SLICE = [
     "orders_by_month",
     "decontaminate_substring",
     "dedup_page_lines",
+    "bpe_token_counts",
 ]
 
 
