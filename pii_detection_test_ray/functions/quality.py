@@ -20,7 +20,9 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-_WS_SPLIT = re.compile(r"\s+")
+# RE2's \s is the ASCII set [ \t\n\r\f] (no VT, no Unicode spaces); the
+# complement run below IS the cross-engine token definition.
+_TOKEN_RUN = re.compile(r"[^ \t\n\r\x0c]+")
 
 # Reason codes, in evaluation order. A document may accumulate several.
 REASON_TOO_SHORT = "too_short"
@@ -52,12 +54,13 @@ class QualityConfig:
 
 
 def tokenize_ws(text: str) -> list[str]:
-    """Whitespace tokenization; identical to DuckDB's
-    ``regexp_split_to_array(trim(text), '\\s+')`` on non-empty input."""
-    stripped = text.strip()
-    if not stripped:
-        return []
-    return _WS_SPLIT.split(stripped)
+    """Whitespace tokenization, byte-identical to DuckDB's
+    ``regexp_extract_all(text, '[^\\s]+')`` on ANY input: token = maximal
+    run of non-whitespace, where "whitespace" is RE2's ASCII set
+    ``[ \\t\\n\\r\\f]`` — NOT Python ``str.split()``'s Unicode set (NBSP /
+    U+3000 / VT are token characters on both engines). Empty and
+    whitespace-only text yield []."""
+    return _TOKEN_RUN.findall(text)
 
 
 def token_count(text: str) -> int:

@@ -24,12 +24,9 @@ ORACLES: dict[str, str] = {
         WITH feats AS (
             SELECT source,
                    n_chars,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                   END AS n_words,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
-                   END AS n_distinct
+                   len(regexp_extract_all(text, '[^\\s]+')) AS n_words,
+                   len(list_distinct(regexp_extract_all(text, '[^\\s]+')))
+                       AS n_distinct
             FROM documents
         )
         SELECT source,
@@ -66,9 +63,7 @@ ORACLES: dict[str, str] = {
     "token_counts": """
         WITH toks AS (
             SELECT source,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                   END AS n_tokens
+                   len(regexp_extract_all(text, '[^\\s]+')) AS n_tokens
             FROM documents
         )
         SELECT source,

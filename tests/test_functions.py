@@ -206,12 +206,28 @@ class TestQuality:
             "hello　world \xa0!",
             "\x0b\n\x0b\nz",
         ]
+        from pii_detection_test_ray.functions.hashing import text_fingerprint_md5
+        from pii_detection_test_ray.functions.quality import tokenize_ws
+
+        hostile += ["\ta b", "a\xa0b c", "  ", "", "x\x0by", "end\t"]
         for t in hostile:
             assert dedup_lines(t) == tuple(con.execute(sql_dedup, [t]).fetchone())
             assert (
                 token_count_bpe(t)
                 == con.execute(
                     "SELECT len(regexp_extract_all(?, ?))", [t, pat]
+                ).fetchone()[0]
+            )
+            assert tokenize_ws(t) == (
+                con.execute(
+                    r"SELECT regexp_extract_all(?, '[^\s]+')", [t]
+                ).fetchone()[0]
+            )
+            assert (
+                text_fingerprint_md5(t)
+                == con.execute(
+                    r"SELECT md5(lower(regexp_replace(trim(?), '\s+', ' ', 'g')))",
+                    [t],
                 ).fetchone()[0]
             )
 
