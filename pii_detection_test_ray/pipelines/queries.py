@@ -225,6 +225,39 @@ def q_bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_vocab_top_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Corpus vocabulary building: global top-100 tokens by frequency.
+    Flat tokenize → per-batch Arrow group_by partials (the combiner: the
+    shuffle carries (token, count) partials, never token streams) → global
+    sum → top-k with a deterministic (count desc, token asc) tie-break so
+    the boundary is cross-engine stable."""
+    from ..functions.quality import tokenize_ws
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for tok in tokenize_ws(t or ""):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n"))
+    )
+    ranked = _rename(agg, {"sum(n)": "n"}).sort(
+        ["n", "token"], descending=[True, False]
+    )
+    return ranked.limit(100)
+
+
 def q_symbol_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-source symbol (non-alphanumeric, non-space) character totals —
     the symbol-ratio gate feature, SQL-cross-checked."""
@@ -1369,6 +1402,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "token_counts": q_token_counts,
     "bpe_token_counts": q_bpe_token_counts,
+    "vocab_top_tokens": q_vocab_top_tokens,
     "symbol_stats": q_symbol_stats,
     "deterministic_sample": q_deterministic_sample,
     "stratified_sample": q_stratified_sample,

@@ -60,6 +60,17 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY lang
     """,
+    "vocab_top_tokens": """
+        WITH toks AS (
+            SELECT unnest(regexp_extract_all(text, '[^\\s]+')) AS token
+            FROM documents
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM toks
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 100
+    """,
     "token_counts": """
         WITH toks AS (
             SELECT source,

@@ -36,6 +36,7 @@ QUERY_SLICE = [
     "decontaminate_substring",
     "dedup_page_lines",
     "bpe_token_counts",
+    "vocab_top_tokens",
 ]
 
 
