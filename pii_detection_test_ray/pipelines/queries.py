@@ -225,6 +225,35 @@ def q_bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    """Sequence packing: documents greedily concatenated into ≤256-BPE-token
+    training sequences (T5/GPT-3 packing, the final LLM data-prep step).
+    Deterministic under any partitioning (hash-bucket + in-bucket id order);
+    rows-only — order-dependent greedy packing is not SQL-expressible;
+    semantics pinned by a pure-Python oracle in tests."""
+    from ..functions.quality import token_count_bpe
+    from ..stages.packing import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(
+                    [token_count_bpe(t or "") for t in batch.column("text").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    counted = ds.map_batches(count, batch_format="pyarrow")
+    packed = pack_sequences(
+        counted, "doc_id", "n_tokens", max_tokens=256, num_buckets=8
+    )
+    return packed.drop_columns(["doc_ids"])
+
+
 def q_vocab_top_tokens(sf_dir: str) -> ray.data.Dataset:
     """Corpus vocabulary building: global top-100 tokens by frequency.
     Flat tokenize → per-batch Arrow group_by partials (the combiner: the
@@ -1434,6 +1463,7 @@ QUERIES = {
     "dedup_page_lines": q_dedup_page_lines,
     # rows-only
     "decontaminate_ngram": q_decontaminate_ngram,
+    "pack_sequences": q_pack_sequences,
     "doc_signatures": q_doc_signatures,
     "pii_scrub_corpus": q_pii_scrub_corpus,
     "pii_eval_rollup": q_pii_eval_rollup,
