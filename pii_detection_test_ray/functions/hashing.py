@@ -34,20 +34,22 @@ def text_fingerprint(text: str, normalize: bool = True) -> str:
     return hashlib.blake2b(text.encode("utf-8"), digest_size=16).hexdigest()
 
 
-# DuckDB-equivalent normalization pieces: trim() strips ASCII SPACES only,
-# and RE2's \s is [ \t\n\r\f] — both narrower than Python str.strip()/
-# split()'s Unicode whitespace. The contract must hold byte-for-byte on
-# hostile characters (tabs at the edges, NBSP, U+3000), not just on clean
-# corpora.
+# Cross-engine normalization: every piece is an explicit character set so
+# Python and DuckDB agree byte-for-byte on ANY input. Bare DuckDB trim()
+# strips Unicode Zs spaces (NBSP, U+3000, …) and DuckDB lower() uses
+# simple case mappings (İ, word-final Σ differ from str.lower()), so the
+# contract uses trim(text, ' ') — ASCII space charlist — and NO lower().
+# RE2's \s is [ \t\n\r\f].
 _ASCII_WS_RUN = re.compile(r"[ \t\n\r\x0c]+")
 
 
 def text_fingerprint_md5(text: str) -> str:
-    """Whitespace/case-normalized md5 hex — chosen (over blake2b) for the
+    """Whitespace-normalized md5 hex — chosen (over blake2b) for the
     cross-engine contract: equals DuckDB's
-    ``md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))`` on ANY
-    input (space-only trim, RE2 ASCII \\s, then lower — same order)."""
-    normalized = _ASCII_WS_RUN.sub(" ", text.strip(" ")).lower()
+    ``md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g'))`` on ANY
+    input (explicit ASCII-space trim, RE2 ASCII \\s, no case folding —
+    Unicode lower() is engine-dependent)."""
+    normalized = _ASCII_WS_RUN.sub(" ", text.strip(" "))
     return hashlib.md5(normalized.encode("utf-8")).hexdigest()
 
 

@@ -47,7 +47,7 @@ ORACLES: dict[str, str] = {
     """,
     "fingerprints": """
         SELECT doc_id,
-               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+               md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) AS fingerprint
         FROM documents
     """,
     "bpe_token_counts": """
@@ -95,19 +95,19 @@ ORACLES: dict[str, str] = {
     "deterministic_sample": """
         SELECT doc_id
         FROM documents
-        WHERE md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) LIKE '0%'
+        WHERE md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) LIKE '0%'
     """,
     "decontaminate_substring": """
         WITH bench AS (
-            SELECT DISTINCT substr(trim(text), 1, 24) AS phrase
+            SELECT DISTINCT substr(trim(text, ' '), 1, 24) AS phrase
             FROM documents
-            WHERE md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) LIKE '0%'
-              AND length(trim(text)) >= 24
+            WHERE md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) LIKE '0%'
+              AND length(trim(text, ' ')) >= 24
         ),
         corpus AS (
             SELECT doc_id, text
             FROM documents
-            WHERE md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) NOT LIKE '0%'
+            WHERE md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) NOT LIKE '0%'
         )
         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
         FROM corpus c JOIN bench b ON contains(c.text, b.phrase)
@@ -132,7 +132,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": """
         SELECT lang, doc_id
         FROM documents
-        WHERE substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 4)
+        WHERE substr(md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')), 1, 4)
               < CASE WHEN lang = 'ko' THEN '4000' ELSE '1000' END
     """,
     "top_longest": """

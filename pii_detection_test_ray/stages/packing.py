@@ -65,7 +65,7 @@ def pack_sequences(
 
         for i in order:
             t = toks[i]
-            if t >= max_tokens:
+            if t > max_tokens:  # strictly longer: exact-fit docs pack normally
                 # oversize doc: its own sequence, current pack unaffected
                 seqs.append(
                     {

@@ -209,7 +209,13 @@ class TestQuality:
         from pii_detection_test_ray.functions.hashing import text_fingerprint_md5
         from pii_detection_test_ray.functions.quality import tokenize_ws
 
-        hostile += ["\ta b", "a\xa0b c", "  ", "", "x\x0by", "end\t"]
+        hostile += [
+            "\ta b", "a\xa0b c", "  ", "", "x\x0by", "end\t",
+            # edge Unicode spaces + engine-divergent case folding (İ, final
+            # Σ): the fingerprint contract avoids both (charlist trim, no
+            # lower()), so these must hash identically
+            "\xa0edge\xa0", "　a", "İstanbul", "σΣ ς",
+        ]
         for t in hostile:
             assert dedup_lines(t) == tuple(con.execute(sql_dedup, [t]).fetchone())
             assert (
@@ -226,7 +232,7 @@ class TestQuality:
             assert (
                 text_fingerprint_md5(t)
                 == con.execute(
-                    r"SELECT md5(lower(regexp_replace(trim(?), '\s+', ' ', 'g')))",
+                    r"SELECT md5(regexp_replace(trim(?, ' '), '\s+', ' ', 'g'))",
                     [t],
                 ).fetchone()[0]
             )

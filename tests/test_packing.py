@@ -22,7 +22,7 @@ def _brute_pack(rows, max_tokens, num_buckets):
         cur, tok = [], 0
         for d in docs:
             t = d["n_tokens"]
-            if t >= max_tokens:
+            if t > max_tokens:  # exact-fit docs pack normally
                 seqs.append(([d["doc_id"]], t, True))
                 continue
             if tok + t > max_tokens:
@@ -45,7 +45,7 @@ def test_pack_sequences_matches_bruteforce_and_is_partition_invariant(ray_sessio
 
     rng = random.Random(11)
     rows = [
-        {"doc_id": i, "n_tokens": rng.choice([30, 70, 120, 300])}
+        {"doc_id": i, "n_tokens": rng.choice([30, 70, 120, 256, 300])}
         for i in range(200)
     ]
     expected = _brute_pack(rows, max_tokens=256, num_buckets=4)
@@ -70,3 +70,7 @@ def test_pack_sequences_matches_bruteforce_and_is_partition_invariant(ray_sessio
         tok <= 256 for _, tok, oversize in expected.values() if not oversize
     )
     assert any(oversize for _, _, oversize in expected.values())  # 300s planted
+    # exact-budget docs (256) form full single-doc sequences, NOT oversize
+    assert any(
+        tok == 256 and not oversize for _, tok, oversize in expected.values()
+    )
