@@ -119,3 +119,73 @@ def test_minhash_estimate_matches_exact_jaccard_direction(xs, seed_val):
     disjoint = sorted({f"other{x}" for x in xs})
     est = float(np.mean(sig_a == h.signature(shingle_hashes(disjoint))))
     assert est <= 0.25
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine fuzz: the four text kernels must equal their DuckDB oracle
+# formulations on ARBITRARY unicode input — not just the curated hostile
+# list in test_functions.py. One shared in-process DuckDB connection; 60
+# random examples per kernel.
+# ---------------------------------------------------------------------------
+
+_duckdb = pytest.importorskip("duckdb")
+_CON = _duckdb.connect()
+# surrogate-free arbitrary unicode, newlines included
+_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=120
+)
+
+
+@SMALL
+@given(_TEXT)
+def test_fuzz_tokenize_ws_equals_duckdb(t):
+    from pii_detection_test_ray.functions.quality import tokenize_ws
+
+    sql = _CON.execute(r"SELECT regexp_extract_all(?, '[^\s]+')", [t]).fetchone()[0]
+    assert tokenize_ws(t) == sql
+
+
+@SMALL
+@given(_TEXT)
+def test_fuzz_fingerprint_md5_equals_duckdb(t):
+    from pii_detection_test_ray.functions.hashing import text_fingerprint_md5
+
+    sql = _CON.execute(
+        r"SELECT md5(regexp_replace(trim(?, ' '), '\s+', ' ', 'g'))", [t]
+    ).fetchone()[0]
+    assert text_fingerprint_md5(t) == sql
+
+
+@SMALL
+@given(_TEXT)
+def test_fuzz_bpe_count_equals_duckdb(t):
+    from pii_detection_test_ray.functions.quality import token_count_bpe
+
+    pat = " ?[A-Za-z가-힣]+| ?[0-9]+| ?[^ \\t\\n\\r\\x0b\\x0cA-Za-z가-힣0-9]+"
+    sql = _CON.execute(
+        "SELECT len(regexp_extract_all(?, ?))", [t, pat]
+    ).fetchone()[0]
+    assert token_count_bpe(t) == sql
+
+
+@SMALL
+@given(_TEXT)
+def test_fuzz_dedup_lines_equals_duckdb(t):
+    from pii_detection_test_ray.functions.quality import dedup_lines
+
+    sql = _CON.execute(
+        """
+        SELECT array_to_string(list_filter(lines,
+          (l, i) -> trim(l, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) = ''
+                    OR list_position(lines, l) = i), chr(10)),
+               len(lines) - len(list_filter(lines,
+          (l, i) -> trim(l, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) = ''
+                    OR list_position(lines, l) = i))
+        FROM (SELECT string_split(?, chr(10)) AS lines)
+        """,
+        [t],
+    ).fetchone()
+    got = dedup_lines(t)
+    assert got == (sql[0], sql[1])
+    # idempotence: a second pass removes nothing
+    assert dedup_lines(got[0]) == (got[0], 0)
