@@ -334,20 +334,38 @@ def main() -> None:
                 runs[n].append(run_child(n))
 
         def level_stats(rs: list[dict]) -> dict:
-            w_small = min(r["wall_small"] for r in rs)
-            w_large = min(r["wall_large"] for r in rs)
-            raw = d_large / w_large
-            fallback = w_large <= w_small * 1.05
-            if fallback:
-                # Jitter swamped the size difference; fall back to raw.
-                # Flagged in the output — a "steady-state" efficiency mixing
-                # marginal and raw estimators must be readable as such.
-                steady = raw
+            # Marginal rate must difference walls from the SAME child — both
+            # passes share one contention window. Differencing the per-size
+            # minima across different children can pair a clean large run
+            # with a dirty small run and fabricate an impossible rate
+            # (observed: Δ=1.4 s for 96k docs → 69k docs/s, 3× the physical
+            # ceiling). Among children whose pair is consistent (large
+            # meaningfully slower than small), trust the one with the
+            # cleanest large pass; floor at the raw rate (raw includes the
+            # fixed cost, so it is always a valid lower bound).
+            import statistics
+
+            w_large_best = min(r["wall_large"] for r in rs)
+            raw = d_large / w_large_best
+            valid = [r for r in rs if r["wall_large"] > r["wall_small"] * 1.05]
+            fallback = not valid
+            if valid:
+                # MEDIAN across valid children, not the best one: a single
+                # lucky window overestimates the marginal as badly as a
+                # dirty one underestimates it (observed both directions on
+                # this host). The median of per-child marginals was stable
+                # (0.72-0.95 efficiency) across four windows where
+                # best-child picks swung 0.71-1.59.
+                marginal = statistics.median(
+                    (d_large - d_small) / (r["wall_large"] - r["wall_small"])
+                    for r in valid
+                )
+                steady = max(marginal, raw)
             else:
-                steady = (d_large - d_small) / (w_large - w_small)
+                steady = raw
             return {
-                "wall_small": w_small,
-                "wall_large": w_large,
+                "wall_small": min(r["wall_small"] for r in rs),
+                "wall_large": w_large_best,
                 "raw_docs_per_sec": round(raw, 1),
                 "steady_docs_per_sec": round(steady, 1),
                 "steady_fell_back_to_raw": fallback,
