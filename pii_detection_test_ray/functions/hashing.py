@@ -19,6 +19,118 @@ _MERSENNE_61 = (1 << 61) - 1
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants): uint64 in,
+    well-mixed uint64 out. Pure numpy — no per-row Python."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def hash64_column(arr) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of a key column → uint64 ndarray.
+
+    This is the map-side tag hash for every wide operator (bucketed joins,
+    salted dedup, as-of, packing): it replaced a per-row
+    ``hashlib.blake2b(str(v))`` loop, which was the single largest
+    vectorization gap flagged in round 2 (~10-80× per tag stage).
+
+    Dispatch:
+    * integer / boolean / temporal columns → int64 view + splitmix64
+      (temporals normalized to timestamp[us] first, so a ``[s]`` column on
+      one join side and ``[us]`` on the other still co-bucket);
+    * everything else (strings) → ``pandas.util.hash_array`` (cython
+      siphash13 with a fixed key — deterministic across processes, runs
+      and machines, measured ~2.6× the blake2b loop).
+
+    Nulls hash like a fixed sentinel: null keys never MATCH anywhere (SQL
+    semantics in every consumer), so their bucket only needs to be
+    consistent between the two sides of an exchange — and it is.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_dictionary(t):
+        arr = arr.cast(t.value_type)
+        t = arr.type
+    if (
+        pa.types.is_integer(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_temporal(t)
+    ):
+        if pa.types.is_temporal(t):
+            # Precision-normalize: same instant ⇒ same hash on both sides.
+            arr = arr.cast(pa.timestamp("us")) if not pa.types.is_time(t) else arr
+        ints = _pc.fill_null(arr.cast(pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        )
+        return _splitmix64(ints.view(np.uint64))
+    # Object path: pandas' fixed-key siphash — handles None entries.
+    obj = np.asarray(arr.to_pylist(), dtype=object)
+    return pd.util.hash_array(obj, categorize=False)
+
+
+def bucket_ids(arr, num_buckets: int, seed: int = 0) -> "np.ndarray":
+    """int32 bucket assignment ``hash64(value) % num_buckets``, vectorized.
+    ``seed`` selects an independent hash stream (bucket vs salt tags must
+    not be correlated when both derive from the same column)."""
+    h = hash64_column(arr)
+    if seed:
+        h = _splitmix64(h ^ np.uint64(seed))
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def hash64_scalar(value) -> int:
+    """Scalar reference of ``hash64_column`` — same dispatch, one value.
+
+    Exists so pure-Python test oracles (e.g. the sequence-packing
+    brute-force) stay INDEPENDENT re-implementations of the bucket
+    assignment while still agreeing with the vectorized column path
+    (pinned by ``tests/test_functions.py``). Not for hot paths.
+    """
+    import datetime
+
+    import pandas as pd
+
+    if isinstance(value, (bool, np.bool_)):
+        value = int(value)
+    if isinstance(value, (int, np.integer)):
+        return int(_splitmix64(np.array([value], dtype=np.int64).view(np.uint64))[0])
+    if isinstance(value, datetime.datetime):
+        us = int(value.timestamp() * 1_000_000) if value.tzinfo else int(
+            (value - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+        return int(_splitmix64(np.array([us], dtype=np.int64).view(np.uint64))[0])
+    if isinstance(value, datetime.date):
+        days = (value - datetime.date(1970, 1, 1)).days
+        us = days * 86_400_000_000
+        return int(_splitmix64(np.array([us], dtype=np.int64).view(np.uint64))[0])
+    return int(
+        pd.util.hash_array(np.asarray([value], dtype=object), categorize=False)[0]
+    )
+
+
+def bucket_of(value, num_buckets: int, seed: int = 0) -> int:
+    """Scalar ``bucket_ids`` — the single definition of the bucket hash all
+    wide operators share (joins/asof/packing/salting import this)."""
+    h = np.uint64(hash64_scalar(value))
+    if seed:
+        h = _splitmix64(np.array([h ^ np.uint64(seed)], dtype=np.uint64))[0]
+    return int(h % np.uint64(num_buckets))
+
+
 def blake64(data: str | bytes) -> int:
     """Stable 64-bit content hash."""
     if isinstance(data, str):

@@ -61,11 +61,9 @@ def _key_codes(*key_arrays: np.ndarray) -> list[np.ndarray]:
 
 
 def _add_bucket(batch: pa.Table, key: str, num_buckets: int) -> pa.Table:
-    from .joins import _bucket_of  # single definition of the bucket hash
+    from ..functions.hashing import bucket_ids  # shared vectorized bucket hash
 
-    buckets = [
-        _bucket_of(v, num_buckets) for v in batch.column(key).to_pylist()
-    ]
+    buckets = bucket_ids(batch.column(key), num_buckets)
     return batch.append_column("__bucket", pa.array(buckets, pa.int32()))
 
 

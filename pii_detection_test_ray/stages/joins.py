@@ -1,7 +1,8 @@
 """Join operators beyond the broadcast pattern.
 
 * ``bucketed_hash_join`` — large ⋈ large: both sides get a deterministic
-  ``bucket = blake2b(key) % B`` column; one groupby co-locates each bucket's
+  ``bucket = hash64(key) % B`` column (vectorized numpy/siphash — see
+  ``functions.hashing.bucket_ids``); one groupby co-locates each bucket's
   rows from both sides (tagged by a side column); the pairwise join runs
   inside ``map_groups`` with ``pyarrow.Table.join`` (no pandas round-trip).
   B is the unit of parallelism and skew spread — it is derived from the
@@ -17,13 +18,14 @@
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
+
+from ..functions.hashing import bucket_ids, bucket_of
 
 _TARGET_BUCKET_BYTES = 128 << 20  # ≈ compressed input per join task
 # Build sides whose input files are smaller than this are broadcast once via
@@ -48,13 +50,9 @@ def _input_bytes(ds: ray.data.Dataset) -> int | None:
     return total if known else None
 
 
-def _bucket_of(value, num_buckets: int) -> int:
-    return (
-        int.from_bytes(
-            hashlib.blake2b(str(value).encode(), digest_size=4).digest(), "big"
-        )
-        % num_buckets
-    )
+# Scalar reference of the vectorized bucket hash (kept under the historical
+# name for the pure-Python test oracles that import it).
+_bucket_of = bucket_of
 
 
 def _auto_num_buckets(*sides: ray.data.Dataset) -> int:
@@ -98,9 +96,7 @@ def bucketed_hash_join(
 
     def tag(side: str):
         def fn(batch: pa.Table) -> pa.Table:
-            buckets = [
-                _bucket_of(v, num_buckets) for v in batch.column(key).to_pylist()
-            ]
+            buckets = bucket_ids(batch.column(key), num_buckets)
             return batch.append_column(
                 "__bucket", pa.array(buckets, pa.int32())
             ).append_column("__side", pa.array([side] * batch.num_rows, pa.string()))
@@ -235,9 +231,7 @@ def _bucketed_membership_join(
         raise ValueError("big side already has reserved column __is_key")
 
     def tag_big(batch: pa.Table) -> pa.Table:
-        buckets = [
-            _bucket_of(v, num_buckets) for v in batch.column(key_col).to_pylist()
-        ]
+        buckets = bucket_ids(batch.column(key_col), num_buckets)
         return batch.append_column(
             "__bucket", pa.array(buckets, pa.int32())
         ).append_column("__is_key", pa.array([False] * batch.num_rows, pa.bool_()))
@@ -251,7 +245,7 @@ def _bucketed_membership_join(
         # but no information.
         keys = batch.select([keys_col]).group_by([keys_col]).aggregate([])
         vals = keys.column(keys_col)
-        buckets = [_bucket_of(v, num_buckets) for v in vals.to_pylist()]
+        buckets = bucket_ids(vals, num_buckets)
         cols = {}
         for c in big_cols:
             if c == key_col:

@@ -32,15 +32,14 @@ def pack_sequences(
     """Pack rows (pre-counted: ``token_counts_col``) into sequences of at
     most ``max_tokens`` tokens. Output one row per packed sequence:
     (bucket, seq_idx, n_docs, n_tokens, oversize, doc_ids)."""
-    from .joins import _auto_num_buckets, _bucket_of
+    from ..functions.hashing import bucket_ids
+    from .joins import _auto_num_buckets
 
     if num_buckets is None:
         num_buckets = _auto_num_buckets(ds)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        buckets = [
-            _bucket_of(v, num_buckets) for v in batch.column(id_col).to_pylist()
-        ]
+        buckets = bucket_ids(batch.column(id_col), num_buckets)
         return batch.append_column("__bucket", pa.array(buckets, pa.int32()))
 
     def pack_bucket(group: pa.Table) -> pa.Table:

@@ -100,16 +100,12 @@ def salted_keep_min(
     groups the survivors by key alone (≤ num_salts rows per key, bounded)."""
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        import hashlib
+        from ..functions.hashing import bucket_ids
 
-        # Deterministic salt from the id so re-runs shard identically.
-        salts = [
-            int.from_bytes(
-                hashlib.blake2b(str(v).encode(), digest_size=2).digest(), "big"
-            )
-            % num_salts
-            for v in batch.column(id_col).to_pylist()
-        ]
+        # Deterministic salt from the id so re-runs shard identically;
+        # seed=1 keeps the salt stream independent of any bucket tag that
+        # may be derived from the same column elsewhere in the plan.
+        salts = bucket_ids(batch.column(id_col), num_salts, seed=1)
         return batch.append_column("__salt", pa.array(salts, pa.int32()))
 
     def keep_min(group: pa.Table) -> pa.Table:
