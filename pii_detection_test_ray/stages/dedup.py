@@ -13,8 +13,9 @@ partitioning is explicit:
   signature agreement inside each group.
 * ``simhash_duplicate_pairs`` — 64-bit SimHash, bucketing by the 4 16-bit
   chunks (hamming ≤ 3 ⇒ ≥ 1 identical chunk), verify by hamming distance.
-* ``dedup_ngram_jaccard`` — LSH candidates re-verified with exact word
-  n-gram Jaccard (texts travel only inside candidate groups).
+* ``ngram_jaccard_pairs`` — signature-only LSH candidates, then texts are
+  joined in for the sparse candidate set and re-verified with exact word
+  n-gram Jaccard (no text ever rides the band exchange).
 * ``embedding_duplicate_pairs`` — near-dup by embedding cosine via seeded
   random-hyperplane LSH buckets, verified with exact cosine.
 
@@ -81,44 +82,52 @@ def dedup_exact(
 # ---------------------------------------------------------------------------
 
 
-class _BandEmitter:
-    """doc → one row per LSH band: (band_key, id, signature)."""
+# MinHasher instances are deterministic (fixed seed) and cheap to build
+# (~µs) but not free; one per (num_perm) per worker process is plenty.
+_MINHASHER_CACHE: dict[int, MinHasher] = {}
 
-    def __init__(self, num_perm: int, num_bands: int, ngram: int, id_col: str, text_col: str, carry_text: bool) -> None:
-        self.hasher = MinHasher(num_perm=num_perm)
-        self.num_bands = num_bands
-        self.ngram = ngram
-        self.id_col = id_col
-        self.text_col = text_col
-        self.carry_text = carry_text
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
-        out_key: list[int] = []
-        out_band: list[int] = []
-        out_id: list = []
-        out_sig: list[list[int]] = []
-        out_text: list[str] = []
-        for doc_id, text in zip(ids, texts):
-            sig = self.hasher.signature_for_text(text, self.ngram)
-            sig_list = sig.tolist()
-            for band, key in enumerate(lsh_band_keys(sig, self.num_bands)):
-                out_key.append(key & 0x7FFFFFFFFFFFFFFF)
-                out_band.append(band)
-                out_id.append(doc_id)
-                out_sig.append(sig_list)
-                if self.carry_text:
-                    out_text.append(text)
-        cols = {
+def _band_rows(
+    batch: pa.Table,
+    *,
+    num_perm: int,
+    num_bands: int,
+    ngram: int,
+    id_col: str,
+    text_col: str,
+) -> pa.Table:
+    """doc → one row per LSH band: (band_key, band, id, signature).
+
+    A plain task-stage function, NOT an actor pool: round 2 ran this behind
+    a hard ``concurrency=(1, 8)`` actor cap, which pinned the most
+    CPU-hungry stage of near-dup (shingling + ``num_perm`` permutations per
+    doc) at 8 actors while larger clusters idled. Stateless tasks scale
+    with whatever the cluster has; the hasher is process-cached."""
+    hasher = _MINHASHER_CACHE.get(num_perm)
+    if hasher is None:
+        hasher = _MINHASHER_CACHE.setdefault(num_perm, MinHasher(num_perm=num_perm))
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_key: list[int] = []
+    out_band: list[int] = []
+    out_id: list = []
+    out_sig: list[list[int]] = []
+    for doc_id, text in zip(ids, texts):
+        sig = hasher.signature_for_text(text, ngram)
+        sig_list = sig.tolist()
+        for band, key in enumerate(lsh_band_keys(sig, num_bands)):
+            out_key.append(key & 0x7FFFFFFFFFFFFFFF)
+            out_band.append(band)
+            out_id.append(doc_id)
+            out_sig.append(sig_list)
+    return pa.table(
+        {
             "band_key": pa.array(out_key, pa.int64()),
             "band": pa.array(out_band, pa.int32()),
-            self.id_col: pa.array(out_id),
+            id_col: pa.array(out_id),
             "sig": pa.array(out_sig, pa.list_(pa.uint64())),
         }
-        if self.carry_text:
-            cols[self.text_col] = pa.array(out_text, pa.string())
-        return pa.table(cols)
+    )
 
 
 _MAX_BUCKET_REPS = 256
@@ -345,17 +354,14 @@ def minhash_duplicate_pairs(
     """Candidate near-duplicate pairs (id_a < id_b, est_jaccard ≥ threshold).
     The same pair found in several bands is deduplicated by a final groupby."""
     bands = ds.map_batches(
-        _BandEmitter,
+        _band_rows,
         batch_format="pyarrow",
-        concurrency=(1, 8),
-        num_cpus=0.5,
-        fn_constructor_kwargs={
+        fn_kwargs={
             "num_perm": num_perm,
             "num_bands": num_bands,
             "ngram": ngram,
             "id_col": id_col,
             "text_col": text_col,
-            "carry_text": False,
         },
     )
     pairs = _coarse_bucketed_pairs(
@@ -462,6 +468,65 @@ def simhash_duplicate_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _candidates_from_group(group: pa.Table, id_col: str) -> pa.Table:
+    """One LSH bucket → candidate id pairs, NO text involved.
+
+    Identical-signature clusters pair member→min-id-head linearly (emitted
+    only at band 0 — identical signatures agree in every band, so that
+    canonical gate is exact); distinct-signature representatives pair
+    O(reps²) under the _MAX_BUCKET_REPS cap, UNGATED across bands: with
+    permissive many-band configs the buckets cap constantly and a
+    canonical-band gate on rep pairs measured a 30% pair loss — the
+    opportunistic multi-band recovery is the recall mechanism, and
+    duplicates collapse in the distinct-pair aggregate downstream."""
+    id_type = group.schema.field(id_col).type
+    ids = group.column(id_col).to_pylist()
+    n = len(ids)
+    band = int(group.column("band")[0].as_py()) if n else 0
+    a_out: list = []
+    b_out: list = []
+    clusters: dict = {}
+    if n:
+        sig_col = group.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        num_perm = len(sig_col[0])
+        sigs = (
+            sig_col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+            .reshape(n, num_perm)
+        )
+        for i in range(n):
+            clusters.setdefault(sigs[i].tobytes(), []).append(i)
+    reps: list[int] = []
+    for members in clusters.values():
+        members.sort(key=lambda i: ids[i])
+        head = members[0]
+        reps.append(head)
+        if band == 0:
+            for other in members[1:]:
+                if ids[other] != ids[head]:
+                    a_out.append(ids[head])
+                    b_out.append(ids[other])
+    reps.sort(key=lambda i: ids[i])
+    reps = reps[:_MAX_BUCKET_REPS]
+    for x in range(len(reps)):
+        for y in range(x + 1, len(reps)):
+            i, j = reps[x], reps[y]
+            if ids[i] == ids[j]:
+                continue
+            a, b = sorted((ids[i], ids[j]))
+            a_out.append(a)
+            b_out.append(b)
+    return pa.table(
+        {
+            "id_a": pa.array(a_out, id_type),
+            "id_b": pa.array(b_out, id_type),
+        }
+    )
+
+
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset,
     id_col: str = "url",
@@ -471,53 +536,87 @@ def ngram_jaccard_pairs(
     num_perm: int = 128,
     num_bands: int = 32,
 ) -> ray.data.Dataset:
-    """Near-dup pairs with EXACT word-n-gram Jaccard ≥ threshold. LSH bands
-    (permissive: more bands → higher candidate recall) generate candidates;
-    texts travel only inside candidate groups for exact verification."""
+    """Near-dup pairs with EXACT word-n-gram Jaccard ≥ threshold.
+
+    Three phases, none of which ships document text through the LSH band
+    exchange (round 2 carried the full text once per band — ×num_bands
+    corpus bytes through the shuffle; this was its one flagged
+    scale-killer):
+
+    1. signature-only LSH bands → candidate (id_a, id_b) pairs (the
+       ``minhash_duplicate_pairs`` bucket machinery, ungated rep pairs);
+    2. distinct-pair aggregate (a pair colliding in k bands → 1 row);
+    3. texts are fetched for the sparse candidate set via two hash joins
+       (adaptive broadcast-vs-bucketed, like every other join here) and
+       exact Jaccard verifies each pair once, row-local.
+
+    Worst-case shuffle volume is now ids+signatures for the bands plus
+    2× corpus text for the joins (at most — the join router broadcasts a
+    small text side instead), independent of num_bands."""
+    from ray.data.aggregate import Count
+
+    from .joins import hash_join
+
     bands = ds.map_batches(
-        _BandEmitter,
+        _band_rows,
         batch_format="pyarrow",
-        concurrency=(1, 8),
-        num_cpus=0.5,
-        fn_constructor_kwargs={
+        fn_kwargs={
             "num_perm": num_perm,
             "num_bands": num_bands,
             "ngram": ngram,
             "id_col": id_col,
             "text_col": text_col,
-            "carry_text": True,
         },
     )
+    cand = _coarse_bucketed_pairs(
+        bands, "band_key", lambda g: _candidates_from_group(g, id_col)
+    )
+    distinct = (
+        cand.groupby(["id_a", "id_b"])
+        .aggregate(Count())
+        .select_columns(["id_a", "id_b"])
+    )
 
-    def verify(group: pa.Table) -> pa.Table:
-        texts = group.column(text_col).to_pylist()
-        band = int(group.column("band")[0].as_py()) if group.num_rows else 0
-        shingle_cache: dict[int, set] = {}
+    def rename_to(id_name: str, text_name: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [
+                    {id_col: id_name, text_col: text_name}[c]
+                    for c in batch.column_names
+                ]
+            )
 
-        def shingles(i: int) -> set:
-            if i not in shingle_cache:
-                shingle_cache[i] = set(word_ngrams(texts[i], ngram))
-            return shingle_cache[i]
+        return fn
 
-        def verify_pair(i: int, j: int) -> float | None:
-            jac = jaccard(shingles(i), shingles(j))
-            return round(jac, 6) if jac >= threshold else None
+    texts = ds.select_columns([id_col, text_col])
+    with_a = hash_join(
+        distinct,
+        texts.map_batches(rename_to("id_a", "__text_a"), batch_format="pyarrow"),
+        "id_a",
+    )
+    with_b = hash_join(
+        with_a,
+        texts.map_batches(rename_to("id_b", "__text_b"), batch_format="pyarrow"),
+        "id_b",
+    )
 
-        # Canonical emission for IDENTICAL texts only (exact: identical
-        # texts agree at band 0 and cluster emission is uncapped, so no
-        # recall loss; on clone-heavy data they dominate the duplication).
-        # Distinct-text rep pairs stay ungated: with 4-perm slices the
-        # permissive bands cap constantly, and a canonical-band gate there
-        # measured a 30% pair loss — the opportunistic multi-band recovery
-        # IS the recall mechanism for this operator.
-        return _cluster_verify_pairs(
-            group, id_col, texts, verify_pair,
-            identical_score=1.0, score_name="jaccard", score_type=pa.float64(),
-            emit_identical=(band == 0),
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        t_a = batch.column("__text_a").to_pylist()
+        t_b = batch.column("__text_b").to_pylist()
+        jac = [
+            jaccard(
+                set(word_ngrams(a or "", ngram)), set(word_ngrams(b or "", ngram))
+            )
+            for a, b in zip(t_a, t_b)
+        ]
+        keep = pa.array([j >= threshold for j in jac], pa.bool_())
+        out = batch.select(["id_a", "id_b"]).filter(keep)
+        scores = pa.array(
+            [round(j, 6) for j in jac if j >= threshold], pa.float64()
         )
+        return out.append_column("jaccard", scores)
 
-    pairs = _coarse_bucketed_pairs(bands, "band_key", verify)
-    return _first_per_pair(pairs, "jaccard")
+    return with_b.map_batches(verify_batch, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

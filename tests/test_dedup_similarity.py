@@ -289,6 +289,22 @@ def test_simhash_pairs_match_pure_python_oracle(ray_session):
     assert len(expected) >= 5
 
 
+def test_band_exchange_carries_no_text():
+    """The LSH band exchange (the one shuffle of the near-dup family) must
+    carry ids+signatures only — round 2 shipped the full text once per band
+    (×num_bands corpus bytes); this pins the fix structurally."""
+    import pyarrow as pa
+
+    from pii_detection_test_ray.stages.dedup import _band_rows
+
+    batch = pa.table({"url": ["a", "b"], "text": ["hello world one two", "x y z w"]})
+    out = _band_rows(
+        batch, num_perm=16, num_bands=4, ngram=3, id_col="url", text_col="text"
+    )
+    assert set(out.column_names) == {"band_key", "band", "url", "sig"}
+    assert out.num_rows == 8  # one row per (doc, band)
+
+
 def test_dedup_minhash_no_driver_materialization(ray_session):
     """dedup_minhash keeps the kept-set semantics while routing the drop set
     through the distributed anti-join (no take_all of ids in the operator)."""
