@@ -7,13 +7,17 @@ assumption each operator documents), never a global sort.
 
 * ``tumbling_window_agg`` — fixed windows via timestamp truncation: a plain
   derived column + groupby, no per-key ordering needed at all.
-* ``sessionize`` — gap-based sessions per key: ``groupby(key).map_groups``
-  sorts one key's events (bounded by per-key volume, the documented
-  partitioning assumption) and counts gap-breaks.
+* ``sessionize`` / ``top_k_per_group`` — per-key logic run per coarse HASH
+  BUCKET of the key, not per key: one ``map_groups`` task per bucket
+  lexsorts thousands of keys at once and does the per-key work with numpy
+  boundary masks (the asof/dedup coarse-bucket pattern — a per-key
+  ``map_groups`` pays Python+Arrow overhead per key, ≈ms × 10^9 keys).
+  Partitioning assumption: one bucket (~128 MiB of input) fits a reducer.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -92,32 +96,50 @@ def sessionize(
     """Rows: (key, n_sessions, n_events). A new session starts when the gap
     since the key's previous event exceeds ``gap_minutes``.
 
-    Partitioning assumption: one key's events fit one reducer (true for web
-    logs; a key with unbounded volume would need day-bucketed sub-keys)."""
-    gap_us = gap_minutes * 60 * 1_000_000
+    One task per hash bucket of the key (not per key): inside, keys
+    factorize, one lexsort by (key, ts) orders every key's events at once,
+    and session starts are a single boundary-or-gap mask — per-key Python
+    cost is gone. Partitioning assumption: one bucket's events fit one
+    reducer (a single pathological key would need day-bucketed sub-keys)."""
+    from .asof import _num_buckets_for
+    from ..functions.hashing import bucket_ids
 
-    def per_key(group: pa.Table) -> pa.Table:
-        # timestamps → int64 microseconds, sorted within this key only
-        ts = sorted(
-            pc.cast(
-                pc.cast(group.column(ts_col), pa.timestamp("us")), pa.int64()
-            ).to_pylist()
+    gap_us = gap_minutes * 60 * 1_000_000
+    num_buckets = _num_buckets_for(ds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_ids(batch.column(key_col), num_buckets)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        ts = (
+            pc.cast(pc.cast(group.column(ts_col), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
         )
-        sessions = 0
-        prev = None
-        for t in ts:
-            if prev is None or t - prev > gap_us:
-                sessions += 1
-            prev = t
+        _, first_idx, code = np.unique(keys, return_index=True, return_inverse=True)
+        order = np.lexsort((ts, code))
+        c_s, t_s = code[order], ts[order]
+        new_key = np.r_[True, c_s[1:] != c_s[:-1]]
+        gap_break = np.r_[True, (t_s[1:] - t_s[:-1]) > gap_us]
+        starts = new_key | gap_break
+        n_sessions = np.bincount(c_s, weights=starts).astype(np.int64)
+        n_events = np.bincount(c_s).astype(np.int64)
         return pa.table(
             {
-                key_col: group.column(key_col).slice(0, 1),
-                "n_sessions": pa.array([sessions], pa.int64()),
-                "n_events": pa.array([group.num_rows], pa.int64()),
+                key_col: group.column(key_col).take(
+                    pa.array(first_idx, pa.int64())
+                ),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
             }
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
 
 
 def top_k_per_group(
@@ -130,25 +152,46 @@ def top_k_per_group(
 ) -> ray.data.Dataset:
     """First-k rows per group under (order_col desc|asc, id_col asc) — the
     reference's per-category sample display shape (O4,
-    hybrid_analysis.py:243-251), generalized. Emits (group, id, order, rank)."""
+    hybrid_analysis.py:243-251), generalized. Emits (group, id, order, rank).
 
-    def head_k(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(group.column(order_col).to_pylist(), group.column(id_col).to_pylist()),
-            key=lambda r: ((-r[0]) if descending else r[0], r[1]),
-        )[:k]
-        n = len(rows)
-        return pa.table(
-            {
-                group_col: pa.concat_arrays(
-                    [group.column(group_col).slice(0, 1).combine_chunks()] * n
-                )
-                if n
-                else group.column(group_col).slice(0, 0).combine_chunks(),
-                id_col: pa.array([r[1] for r in rows]),
-                order_col: pa.array([r[0] for r in rows]),
-                "rank": pa.array(list(range(1, n + 1)), pa.int64()),
-            }
+    One task per hash bucket of the group key: group/order/id columns all
+    factorize to dense codes (so string order/id columns sort fine), one
+    lexsort ranks every group's rows at once, and a rank-within-run mask
+    keeps the first k — no per-group Python call."""
+    from .asof import _num_buckets_for
+    from ..functions.hashing import bucket_ids
+
+    num_buckets = _num_buckets_for(ds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_ids(batch.column(group_col), num_buckets)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        keys = group.column(group_col).to_numpy(zero_copy_only=False)
+        order_vals = group.column(order_col).to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        _, code = np.unique(keys, return_inverse=True)
+        # Codes are order-isomorphic to values (np.unique sorts), so
+        # code-level comparison == value-level comparison for any dtype.
+        _, o_code = np.unique(order_vals, return_inverse=True)
+        _, i_code = np.unique(ids, return_inverse=True)
+        ordkey = -o_code if descending else o_code
+        sort_idx = np.lexsort((i_code, ordkey, code))
+        c_s = code[sort_idx]
+        starts = np.r_[True, c_s[1:] != c_s[:-1]]
+        run_start = np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+        rank0 = np.arange(n) - run_start
+        keep = rank0 < k
+        take = pa.array(sort_idx[keep], pa.int64())
+        kept = group.select([group_col, id_col, order_col]).take(take)
+        return kept.append_column(
+            "rank", pa.array(rank0[keep] + 1, pa.int64())
         )
 
-    return ds.groupby(group_col).map_groups(head_k, batch_format="pyarrow")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -2,7 +2,8 @@
 entry at a given sf_dir, run the paired oracle SQL in DuckDB, and compare
 row count, column names, and order-insensitive values.
 
-Usage: python tools/check_correctness.py [sf_dir]
+Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
+(with query names given, only those entries run — quick re-checks)
 """
 
 from __future__ import annotations
@@ -63,7 +64,7 @@ def compare(name, ray_df, sql_df) -> list[str]:
     return problems
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import duckdb
     import ray
 
@@ -75,6 +76,11 @@ def main(sf_dir: str) -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = set(only) - set(queries)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        queries = {k: v for k, v in queries.items() if k in only}
 
     con = duckdb.connect()
     for table in ("region nation customer supplier part orders lineitem "
@@ -112,4 +118,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:] or None,
+        )
+    )
