@@ -95,9 +95,29 @@ class AudioFeatureBatcher:
 
     def __init__(self, media_col: str = "media") -> None:
         self.media_col = media_col
+        try:  # library absent in this container; gate, don't require
+            import soundfile as _soundfile  # type: ignore
+
+            self._sf = _soundfile
+        except ImportError:
+            self._sf = None
 
     def _decode(self, blob: bytes) -> tuple[int, float, float]:
         if blob[:4] != MAGIC:
+            if self._sf is not None:
+                import io
+
+                data, _rate = self._sf.read(io.BytesIO(blob))
+                data = np.asarray(data, dtype=np.float64)
+                if data.ndim > 1:  # downmix channels
+                    data = data.mean(axis=1)
+                if not data.size:
+                    return 0, 0.0, 0.0
+                return (
+                    int(data.size),
+                    float(np.abs(data).mean()),
+                    float(np.sqrt((data**2).mean())),
+                )
             raise NotImplementedError(
                 "real audio decode needs an audio library, absent here"
             )

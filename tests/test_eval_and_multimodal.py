@@ -157,3 +157,98 @@ def test_audio_features_and_frames_query(ray_session):
     assert (df[df["metric"] == "n_samples"]["value"] > 0).all()
     # flat-map shape: more frame rows than input videos
     assert (df["metric"] == "frame_checksum").sum() > 16
+
+
+class TestRealDecoderEscapeHatch:
+    """The decode stubs are provably one import away from real decoders:
+    monkeypatched PIL / soundfile modules drive the non-synthetic branch
+    end-to-end through the batchers' __call__ (the exact code a real
+    library installation would hit)."""
+
+    def test_image_batcher_uses_pil_when_importable(self, monkeypatch):
+        import sys
+        import types
+
+        import numpy as np
+        import pyarrow as pa
+
+        from pii_detection_test_ray.stages import multimodal
+
+        opened = {}
+
+        class FakeImg:
+            width, height = 3, 2
+
+            def convert(self, mode):
+                assert mode == "L"
+                return np.array([[0, 10, 20], [30, 40, 50]], dtype=np.uint8)
+
+        fake_image_mod = types.ModuleType("PIL.Image")
+
+        def fake_open(fp):
+            opened["bytes"] = fp.read()
+            return FakeImg()
+
+        fake_image_mod.open = fake_open
+        fake_pil = types.ModuleType("PIL")
+        fake_pil.Image = fake_image_mod
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+        batcher = multimodal.ImageFeatureBatcher()
+        assert batcher._pil is fake_image_mod  # import gate picked it up
+        blob = b"\x89PNG-not-the-synthetic-container"
+        out = batcher(pa.table({"media": pa.array([blob], pa.binary())}))
+        assert opened["bytes"] == blob  # real bytes reached the decoder
+        assert out.column("img_width").to_pylist() == [3]
+        assert out.column("img_height").to_pylist() == [2]
+        assert out.column("img_mean_pixel").to_pylist() == [25.0]
+
+    def test_audio_batcher_uses_soundfile_when_importable(self, monkeypatch):
+        import sys
+        import types
+
+        import numpy as np
+        import pyarrow as pa
+
+        from pii_detection_test_ray.stages import multimodal
+
+        fake_sf = types.ModuleType("soundfile")
+
+        def fake_read(fp):
+            assert fp.read() == b"RIFF-fake-wav"
+            # Stereo float audio — exercises the downmix branch too.
+            return np.array([[0.6, 0.2], [-0.4, -0.4]]), 16000
+
+        fake_sf.read = fake_read
+        monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+
+        batcher = multimodal.AudioFeatureBatcher()
+        assert batcher._sf is fake_sf
+        out = batcher(pa.table({"media": pa.array([b"RIFF-fake-wav"], pa.binary())}))
+        assert out.column("n_samples").to_pylist() == [2]
+        assert out.column("mean_amplitude").to_pylist() == [0.4]  # (|.4|+|-.4|)/2
+        assert out.column("rms_amplitude").to_pylist() == [0.4]
+
+    def test_synthetic_path_unaffected_by_fake_libs(self, monkeypatch):
+        import sys
+        import types
+
+        import pyarrow as pa
+
+        from pii_detection_test_ray.stages import multimodal
+
+        def boom(*a, **k):  # a real decoder must never see container blobs
+            raise AssertionError("synthetic blob leaked to the real decoder")
+
+        fake_image_mod = types.ModuleType("PIL.Image")
+        fake_image_mod.open = boom
+        fake_pil = types.ModuleType("PIL")
+        fake_pil.Image = fake_image_mod
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+        batcher = multimodal.ImageFeatureBatcher()
+        blob = multimodal.make_fake_media("I", 4, 4, 1, seed=3)
+        out = batcher(pa.table({"media": pa.array([blob], pa.binary())}))
+        assert out.column("img_width").to_pylist() == [4]
