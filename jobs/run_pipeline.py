@@ -100,7 +100,11 @@ def main() -> None:
     ):
         if not metric.startswith(("lang:", "drop_reason:")) and metric != "wall_sec":
             totals[metric] = totals.get(metric, 0.0) + value
-    for name in ("kept", "dropped", "pii_spans", "toxic_spans"):
+    # rows_in/rows_out come from the same rollup so every count in the line
+    # shares one scope (all completed groups, across resumed invocations) —
+    # previously they were this-invocation sums, so kept+dropped could
+    # exceed rows_out after a resume.
+    for name in ("rows_in", "rows_out", "kept", "dropped", "pii_spans", "toxic_spans"):
         if name in totals:
             summary[name] = int(totals[name])
     print(json.dumps(summary))
