@@ -77,6 +77,16 @@ def hash64_column(arr) -> np.ndarray:
             zero_copy_only=False
         )
         return _splitmix64(ints.view(np.uint64))
+    if pa.types.is_floating(t):
+        # Hash the float64 bit pattern, with -0.0 folded into +0.0 and NaNs
+        # canonicalized so value-equal floats hash equal.
+        f = _pc.fill_null(arr.cast(pa.float64()), 0.0).to_numpy(
+            zero_copy_only=False
+        )
+        f = f + 0.0
+        bits = f.view(np.uint64).copy()
+        bits[np.isnan(f)] = np.uint64(0x7FF8000000000000)
+        return _splitmix64(bits)
     # Object path: pandas' fixed-key siphash — handles None entries.
     obj = np.asarray(arr.to_pylist(), dtype=object)
     return pd.util.hash_array(obj, categorize=False)
@@ -108,6 +118,11 @@ def hash64_scalar(value) -> int:
         value = int(value)
     if isinstance(value, (int, np.integer)):
         return int(_splitmix64(np.array([value], dtype=np.int64).view(np.uint64))[0])
+    if isinstance(value, (float, np.floating)):
+        f = np.array([value], dtype=np.float64) + 0.0
+        bits = f.view(np.uint64).copy()
+        bits[np.isnan(f)] = np.uint64(0x7FF8000000000000)
+        return int(_splitmix64(bits)[0])
     if isinstance(value, datetime.datetime):
         us = int(value.timestamp() * 1_000_000) if value.tzinfo else int(
             (value - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000

@@ -11,10 +11,25 @@ error ≈ 1.04/√(2^p).
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import numpy as np
+
+from .hashing import hash64_column, hash64_scalar
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros over uint64 (binary search, 6 steps).
+    clz(0) = 64."""
+    x = x.astype(np.uint64, copy=True)
+    zero_in = x == 0
+    n = np.zeros(x.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        small = x < (np.uint64(1) << np.uint64(64 - s))
+        n[small] += s
+        x[small] = x[small] << np.uint64(s)
+    n[zero_in] = 64
+    return n
 
 
 class HyperLogLog:
@@ -32,9 +47,9 @@ class HyperLogLog:
             self.alpha = 0.673
 
     def add(self, value) -> None:
-        h = int.from_bytes(
-            hashlib.blake2b(str(value).encode(), digest_size=8).digest(), "big"
-        )
+        """Scalar path — same hash and bit math as ``add_hashes`` (the
+        vectorized path); agreement is pinned by tests."""
+        h = hash64_scalar(value)
         idx = h >> (64 - self.p)
         rest = (h << self.p) & ((1 << 64) - 1)
         # rank = leading zeros of the remaining bits (shifted into a 64-bit
@@ -43,9 +58,22 @@ class HyperLogLog:
         if rank > self.registers[idx]:
             self.registers[idx] = rank
 
+    def add_hashes(self, h: np.ndarray) -> None:
+        """Vectorized register update from precomputed uint64 hashes — the
+        hot path; callers hash a whole column once (``hash64_column``) and
+        feed per-key slices here, so no per-row Python ever runs."""
+        if not h.size:
+            return
+        h = h.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        rank = np.where(
+            rest == 0, 64 - self.p + 1, _clz64(rest) + 1
+        ).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
     def add_many(self, values) -> None:
-        for v in values:
-            self.add(v)
+        self.add_hashes(hash64_column(values))
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         assert self.p == other.p
@@ -72,9 +100,9 @@ class HyperLogLog:
 
 
 def _value_hash64(value) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(repr(value).encode(), digest_size=8).digest(), "big"
-    )
+    # Shared engine hash — scalar reference of hash64_column, so the
+    # scalar add() and the vectorized add_hashed() sample identically.
+    return hash64_scalar(value)
 
 
 class HashSampleQuantile:
@@ -104,9 +132,20 @@ class HashSampleQuantile:
         if _value_hash64(value) & self.mask == 0:
             self.counts[value] = self.counts.get(value, 0) + count
 
+    def add_hashed(self, values: np.ndarray, h: np.ndarray) -> None:
+        """Vectorized membership + count update from precomputed hashes:
+        the mask test and the unique-count both run in numpy; Python only
+        touches the ~2^-bits sampled slice."""
+        sel = (h.astype(np.uint64, copy=False) & np.uint64(self.mask)) == 0
+        if not sel.any():
+            return
+        uq, cts = np.unique(values[sel], return_counts=True)
+        for v, c in zip(uq.tolist(), cts.tolist()):
+            self.counts[v] = self.counts.get(v, 0) + int(c)
+
     def add_many(self, values) -> None:
-        for v in values:
-            self.add(v)
+        arr = np.asarray(values)
+        self.add_hashed(arr, hash64_column(values))
 
     def merge(self, other: "HashSampleQuantile") -> "HashSampleQuantile":
         assert self.bits == other.bits

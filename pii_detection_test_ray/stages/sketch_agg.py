@@ -11,10 +11,25 @@ from __future__ import annotations
 
 import pickle
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ..functions.hashing import hash64_column
 from ..functions.sketches import HashSampleQuantile, HyperLogLog, MisraGries
+
+
+def _key_runs(batch: pa.Table, key_col: str):
+    """Factorize the key column and yield (unique_keys, list of row-index
+    slices) so per-key sketching runs over numpy slices, not a per-row
+    Python dict loop."""
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    inv_s = inv[order]
+    bounds = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1], True])
+    runs = [order[s:e] for s, e in zip(bounds[:-1], bounds[1:])]
+    return uniq, runs
 
 
 def approx_distinct_per_key(
@@ -26,19 +41,19 @@ def approx_distinct_per_key(
     """Rows: (key, approx_distinct: int64). Deterministic (content hashes)."""
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
-        sketches: dict = {}
-        keys = batch.column(key_col).to_pylist()
-        vals = batch.column(value_col).to_pylist()
-        for k, v in zip(keys, vals):
-            if k not in sketches:
-                sketches[k] = HyperLogLog(p)
-            sketches[k].add(v)
+        # One vectorized hash over the whole value column, then per-key
+        # register updates over index slices — no per-row Python.
+        uniq, runs = _key_runs(batch, key_col)
+        h = hash64_column(batch.column(value_col))
+        blobs = []
+        for rows in runs:
+            hll = HyperLogLog(p)
+            hll.add_hashes(h[rows])
+            blobs.append(hll.to_bytes())
         return pa.table(
             {
-                key_col: pa.array(list(sketches.keys())),
-                "sketch": pa.array(
-                    [s.to_bytes() for s in sketches.values()], pa.binary()
-                ),
+                key_col: pa.array(uniq),
+                "sketch": pa.array(blobs, pa.binary()),
             }
         )
 
@@ -62,24 +77,35 @@ def approx_distinct_per_key(
     )
 
 
-def _sketch_per_key(ds, key_col, value_col, make_sketch, finalize_cols):
+def _sketch_per_key(ds, key_col, value_col, make_sketch, finalize_cols, use_hash=False):
     """Shared combiner shape: per-batch per-key sketch → serialized bytes →
-    groupby(key) merge → finalize_cols(merged) output columns."""
+    groupby(key) merge → finalize_cols(merged) output columns.
+
+    ``use_hash=True`` (hash-sampling sketches): the value column hashes
+    once per batch (vectorized) and each key's slice feeds ``add_hashed``.
+    ``use_hash=False`` (counter sketches): each key's slice pre-aggregates
+    with ``np.unique`` and feeds ``add(value, count)`` per DISTINCT value —
+    far fewer dict operations on duplicate-heavy data, deterministic
+    (value-ascending add order)."""
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
-        sketches: dict = {}
-        keys = batch.column(key_col).to_pylist()
-        vals = batch.column(value_col).to_pylist()
-        for k, v in zip(keys, vals):
-            if k not in sketches:
-                sketches[k] = make_sketch()
-            sketches[k].add(v)
+        uniq, runs = _key_runs(batch, key_col)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        h = hash64_column(batch.column(value_col)) if use_hash else None
+        blobs = []
+        for rows in runs:
+            s = make_sketch()
+            if use_hash:
+                s.add_hashed(vals[rows], h[rows])
+            else:
+                vu, vc = np.unique(vals[rows], return_counts=True)
+                for v, c in zip(vu.tolist(), vc.tolist()):
+                    s.add(v, int(c))
+            blobs.append(pickle.dumps(s))
         return pa.table(
             {
-                key_col: pa.array(list(sketches.keys())),
-                "sketch": pa.array(
-                    [pickle.dumps(s) for s in sketches.values()], pa.binary()
-                ),
+                key_col: pa.array(uniq),
+                "sketch": pa.array(blobs, pa.binary()),
             }
         )
 
@@ -117,7 +143,8 @@ def approx_quantiles_per_key(
         }
 
     return _sketch_per_key(
-        ds, key_col, value_col, lambda: HashSampleQuantile(bits), finalize
+        ds, key_col, value_col, lambda: HashSampleQuantile(bits), finalize,
+        use_hash=True,
     )
 
 

@@ -157,3 +157,44 @@ class TestHeavyHitters:
         mg.add_many(stream)
         # true count 500; error ≤ n/(k+1) ≈ 82
         assert mg.counts.get(0, 0) >= 500 - 900 // 11 - 1
+
+
+class TestSketchVectorScalarAgreement:
+    """The vectorized sketch paths (one hash per column, numpy register /
+    membership updates) must produce bit-identical sketches to the scalar
+    add() loop — partition determinism rests on it."""
+
+    def test_hll_add_hashes_equals_scalar_adds(self):
+        import numpy as np
+
+        from pii_detection_test_ray.functions.sketches import HyperLogLog
+
+        values = [f"user-{i}" for i in range(5000)] + [0, 1, -5, 3.25, -0.0]
+        a = HyperLogLog(p=10)
+        for v in values:
+            a.add(v)
+        b = HyperLogLog(p=10)
+        b.add_many([f"user-{i}" for i in range(5000)])
+        b.add_many(np.array([0, 1, -5], dtype=np.int64))
+        b.add_many(np.array([3.25, -0.0]))
+        assert (a.registers == b.registers).all()
+
+    def test_quantile_add_hashed_equals_scalar_adds(self):
+        import numpy as np
+
+        from pii_detection_test_ray.functions.sketches import HashSampleQuantile
+
+        vals = (np.arange(20000, dtype=np.float64) * 0.5) - 1000.0
+        a = HashSampleQuantile(bits=4)
+        for v in vals.tolist():
+            a.add(v)
+        b = HashSampleQuantile(bits=4)
+        b.add_many(vals)
+        assert a.counts == b.counts
+        assert len(b.counts) > 100  # the sample is non-vacuous
+
+    def test_float_value_normalization(self):
+        from pii_detection_test_ray.functions.hashing import hash64_scalar
+
+        assert hash64_scalar(0.0) == hash64_scalar(-0.0)
+        assert hash64_scalar(float("nan")) == hash64_scalar(float("nan"))
