@@ -160,32 +160,29 @@ def broadcast_hash_join(
     if r_schema is None:  # schema-less ⇒ no build rows ⇒ inner join ∅
         return left.limit(0)
     right_cols = [c for c in r_schema.names if c != key]
-    right_types = {
-        n: t for n, t in zip(r_schema.names, r_schema.types) if n != key
-    }
     overlap = (set(left.schema().names) & set(r_schema.names)) - {key}
     if overlap:
         raise ValueError(f"non-key column collision: {overlap}")
 
-    rmap: dict = {}
-    for row in right.take_all():
-        rmap.setdefault(row[key], []).append(tuple(row[c] for c in right_cols))
-    ref = ray.put(rmap)
+    # Materialize the build side ONCE as an Arrow table in the object store
+    # (block refs, no Python-object round-trip); every probe batch then runs
+    # pyarrow's C++ hash join against it — this replaced the last per-row
+    # Python dict-lookup loop in the join family.
+    pa_schema = pa.schema(list(zip(r_schema.names, r_schema.types)))
+    blocks = [b for b in ray.get(right.to_arrow_refs()) if b.num_rows]
+    r_tbl = (
+        pa.concat_tables([b.select(pa_schema.names).cast(pa_schema) for b in blocks])
+        if blocks
+        else pa_schema.empty_table()
+    ).select([key] + right_cols)
+    ref = ray.put(r_tbl)
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        l_idx: list[int] = []
-        matched: list[tuple] = []
-        for i, k in enumerate(batch.column(key).to_pylist()):
-            for rr in lookup.get(k, ()):
-                l_idx.append(i)
-                matched.append(rr)
-        out = batch.take(pa.array(l_idx, pa.int64()))
-        for j, col in enumerate(right_cols):
-            out = out.append_column(
-                col, pa.array([m[j] for m in matched], right_types[col])
-            )
-        return out
+        build = ray.get(ref)
+        joined = batch.join(build, keys=key, join_type="inner")
+        # Table.join output column order is not guaranteed; restore
+        # left ∪ right.
+        return joined.select(list(batch.column_names) + right_cols)
 
     return left.map_batches(join_batch, batch_format="pyarrow")
 
@@ -379,19 +376,31 @@ def anti_join(
     return bucketed_anti_join(big, keys_ds, key_col, keys_col, num_buckets)
 
 
+def _membership_filter(
+    big: ray.data.Dataset, keys, key_col: str, anti: bool
+) -> ray.data.Dataset:
+    """Broadcast-set membership filter: the key set ships once as an Arrow
+    array and every batch runs one vectorized ``pc.is_in`` (the Python
+    ``v in set`` row loop this replaces cost ~100 ns × rows per batch).
+    NULL keys are never members: semi drops them, anti keeps them —
+    matching the bucketed variants."""
+    key_ref = ray.put(pa.array(sorted(set(keys), key=repr)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        value_set = ray.get(key_ref)
+        member = pc.is_in(batch.column(key_col), value_set=value_set)
+        member = pc.fill_null(member, False)
+        return batch.filter(pc.invert(member) if anti else member)
+
+    return big.map_batches(keep, batch_format="pyarrow")
+
+
 def semi_join_filter(
     big: ray.data.Dataset, keys, key_col: str
 ) -> ray.data.Dataset:
     """Keep big-side rows whose key is in ``keys`` (broadcast set). For
     dim-table-sized key sides only; fact-sized sides: bucketed_semi_join."""
-    key_ref = ray.put(frozenset(keys))
-
-    def keep(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(key_ref)
-        mask = [v in wanted for v in batch.column(key_col).to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
-
-    return big.map_batches(keep, batch_format="pyarrow")
+    return _membership_filter(big, keys, key_col, anti=False)
 
 
 def anti_join_filter(
@@ -399,11 +408,4 @@ def anti_join_filter(
 ) -> ray.data.Dataset:
     """Keep big-side rows whose key is NOT in ``keys`` (broadcast set). For
     dim-table-sized key sides only; fact-sized sides: bucketed_anti_join."""
-    key_ref = ray.put(frozenset(keys))
-
-    def keep(batch: pa.Table) -> pa.Table:
-        unwanted = ray.get(key_ref)
-        mask = [v not in unwanted for v in batch.column(key_col).to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
-
-    return big.map_batches(keep, batch_format="pyarrow")
+    return _membership_filter(big, keys, key_col, anti=True)

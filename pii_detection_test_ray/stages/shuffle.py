@@ -21,8 +21,6 @@ naive groupby (verified against the DuckDB oracles).
 
 from __future__ import annotations
 
-from collections import defaultdict
-
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -41,31 +39,26 @@ def partial_groupby_sum(
     only per-batch partials."""
 
     def combine(batch: pa.Table) -> pa.Table:
-        key_types = {k: batch.schema.field(k).type for k in key_cols}
-        keys = list(zip(*(batch.column(k).to_pylist() for k in key_cols)))
-        sums: dict[tuple, list[int]] = defaultdict(lambda: [0] * (len(sum_cols) + 1))
-        cols = [batch.column(c).to_pylist() for c in sum_cols]
-        for i, key in enumerate(keys):
-            acc = sums[key]
-            for j, col in enumerate(cols):
-                acc[j] += col[i]
-            acc[-1] += 1
-        out: dict[str, list] = {k: [] for k in key_cols}
-        for j, c in enumerate(sum_cols):
-            out[c] = [acc[j] for acc in sums.values()]
+        # Arrow's C++ hash aggregate is the whole combiner — no per-row
+        # Python. Sums stay int64 (integer-exactness contract) and key
+        # types survive as declared, including on an empty batch.
+        aggs = [(c, "sum") for c in sum_cols]
         if count_as:
-            out[count_as] = [acc[-1] for acc in sums.values()]
-        for key in sums:
-            for ki, k in enumerate(key_cols):
-                out[k].append(key[ki])
-        # Explicit key types: an EMPTY batch (e.g. a fully filtered block)
-        # would otherwise emit null-typed key columns and break the block
-        # schema union downstream.
-        arrays = {k: pa.array(out[k], key_types[k]) for k in key_cols}
+            aggs.append(([], "count_all"))
+        grouped = (
+            batch.select(key_cols + sum_cols).group_by(key_cols).aggregate(aggs)
+        )
+        renames = {f"{c}_sum": c for c in sum_cols}
+        if count_as:
+            renames["count_all"] = count_as
+        grouped = grouped.rename_columns(
+            [renames.get(c, c) for c in grouped.column_names]
+        )
+        arrays = {k: grouped.column(k) for k in key_cols}
         for c in sum_cols:
-            arrays[c] = pa.array(out[c], pa.int64())
+            arrays[c] = grouped.column(c).cast(pa.int64())
         if count_as:
-            arrays[count_as] = pa.array(out[count_as], pa.int64())
+            arrays[count_as] = grouped.column(count_as).cast(pa.int64())
         return pa.table(arrays)
 
     partials = ds.map_batches(combine, batch_format="pyarrow")
