@@ -109,6 +109,43 @@ def token_count_bpe(text: str) -> int:
     return len(BPE_TOKEN_RE.findall(text))
 
 
+def repetition_signals(text: str) -> tuple[int, int, int, int]:
+    """Gopher/MassiveText within-document repetition signals (Rae et al.
+    2021, appendix A1.1: "repetitious documents" filters), integer-exact so
+    the DuckDB oracle hash-matches bit-for-bit:
+
+    - ``n_tokens`` — whitespace tokens (the pinned ``tokenize_ws`` contract)
+    - ``top2gram_chars`` — occurrences × character length (space-joined) of
+      the most character-covering word 2-gram; the Gopher "top-2-gram
+      fraction" numerator kept as an integer instead of a float ratio
+    - ``dup3gram_count`` — 3-gram positions minus distinct 3-grams (the
+      duplicate 3-gram count)
+    - ``keep_flag`` — 1 iff ``5*top2gram_chars <= len(text)`` (top-2-gram
+      coverage ≤ 20% of characters) and ``10*dup3gram_count <= n_3grams``
+      (≤ 10% duplicate 3-grams): integer cross-multiplied thresholds, no
+      float division anywhere.
+    """
+    toks = _TOKEN_RUN.findall(text)
+    n = len(toks)
+    c2: dict[str, int] = {}
+    for i in range(n - 1):
+        g = toks[i] + " " + toks[i + 1]
+        c2[g] = c2.get(g, 0) + 1
+    top2 = max((c * len(g) for g, c in c2.items()), default=0)
+    n3 = max(n - 2, 0)
+    distinct3 = {toks[i] + " " + toks[i + 1] + " " + toks[i + 2] for i in range(n - 2)}
+    dup3 = n3 - len(distinct3)
+    keep = 1 if (5 * top2 <= len(text) and 10 * dup3 <= n3) else 0
+    return n, top2, dup3, keep
+
+
+def distinct_ngrams(text: str, n: int = 5) -> set[str]:
+    """The document's distinct space-joined word *n*-grams (cross-document
+    boilerplate detection unit). Same tokenizer contract as above."""
+    toks = _TOKEN_RUN.findall(text)
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
 # "Blank" for line-dedup purposes = only ASCII whitespace (space, tab, CR,
 # VT, FF — \n can't occur inside a split line). An explicit set, not
 # str.strip()'s Unicode one, because the DuckDB oracle must test the exact

@@ -60,6 +60,61 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY lang
     """,
+    "gopher_repetition": """
+        WITH toks AS (
+            SELECT doc_id, length(text) AS n_chars,
+                   regexp_extract_all(text, '[^\\s]+') AS tk
+            FROM documents
+        ),
+        g2 AS (
+            SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS gram
+            FROM toks,
+                 LATERAL (SELECT unnest(range(1, greatest(len(tk), 1))) AS i)
+        ),
+        top2 AS (
+            SELECT doc_id, max(cnt * length(gram)) AS top2gram_chars
+            FROM (SELECT doc_id, gram, count(*) AS cnt
+                  FROM g2 GROUP BY doc_id, gram)
+            GROUP BY doc_id
+        ),
+        g3 AS (
+            SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+            FROM toks,
+                 LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, 1))) AS i)
+        ),
+        dup3 AS (
+            SELECT doc_id, count(*) - count(DISTINCT gram) AS dup3gram_count
+            FROM g3 GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.tk) AS BIGINT) AS n_tokens,
+               CAST(coalesce(top2.top2gram_chars, 0) AS BIGINT) AS top2gram_chars,
+               CAST(coalesce(dup3.dup3gram_count, 0) AS BIGINT) AS dup3gram_count,
+               CAST(CASE WHEN 5 * coalesce(top2.top2gram_chars, 0) <= t.n_chars
+                          AND 10 * coalesce(dup3.dup3gram_count, 0)
+                              <= greatest(len(t.tk) - 2, 0)
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+        FROM toks t
+        LEFT JOIN top2 USING (doc_id)
+        LEFT JOIN dup3 USING (doc_id)
+    """,
+    "crossdoc_ngrams": """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS tk
+            FROM documents
+        ),
+        g5 AS (
+            SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+            FROM toks,
+                 LATERAL (SELECT unnest(range(1, greatest(len(tk) - 3, 1))) AS i)
+        )
+        SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+        FROM g5
+        GROUP BY gram
+        HAVING count(*) >= 2
+        ORDER BY n_docs DESC, gram
+        LIMIT 50
+    """,
     "vocab_top_tokens": """
         WITH toks AS (
             SELECT unnest(regexp_extract_all(text, '[^\\s]+')) AS token

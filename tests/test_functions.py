@@ -171,6 +171,38 @@ class TestQuality:
         assert dedup_lines("") == ("", 0)
         assert dedup_lines("a\nb") == ("a\nb", 0)
 
+    def test_repetition_signals(self):
+        from pii_detection_test_ray.functions.quality import repetition_signals
+
+        # empty / whitespace-only: no tokens, vacuously kept
+        assert repetition_signals("") == (0, 0, 0, 1)
+        assert repetition_signals("  \t ") == (0, 0, 0, 1)
+        # single token: no 2-grams or 3-grams
+        assert repetition_signals("hello") == (1, 0, 0, 1)
+        # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → top "a b"×3,
+        # covering 3*3=9 chars of 11; 3-grams = 4 positions, 2 distinct
+        n, top2, dup3, keep = repetition_signals("a b a b a b")
+        assert (n, top2, dup3) == (6, 9, 2)
+        # 5*9=45 > 11 chars AND 10*2=20 > 4 → dropped on both signals
+        assert keep == 0
+        # no repetition at all (long enough that no single 2-gram covers
+        # >20% of characters — short docs are a min-length gate's job, as in
+        # Gopher, not this filter's): kept
+        long_clean = " ".join(f"tok{i}" for i in range(40))
+        n, top2, dup3, keep = repetition_signals(long_clean)
+        assert (n, dup3, keep) == (40, 0, 1)
+
+    def test_distinct_ngrams(self):
+        from pii_detection_test_ray.functions.quality import distinct_ngrams
+
+        assert distinct_ngrams("a b c d e f", 5) == {"a b c d e", "b c d e f"}
+        # repeated 5-gram collapses (set semantics — one vote per doc)
+        assert distinct_ngrams("x y z w v x y z w v x y z w v", 5) >= {
+            "x y z w v"
+        }
+        assert distinct_ngrams("a b", 5) == set()
+        assert distinct_ngrams("", 5) == set()
+
     def test_line_dedup_and_bpe_cross_engine_hostile_chars(self):
         """The dedup_lines / token_count_bpe kernels must agree with their
         DuckDB oracle formulations on characters where Python and RE2/SQL
