@@ -459,8 +459,10 @@ def q_decontaminate_ngram(sf_dir: str) -> ray.data.Dataset:
     method: GPT-3 appendix C / The Pile §6.2). Same bench/corpus hash
     split; bench n-gram hashes dedup distributed and broadcast sorted;
     per corpus doc one vectorized np.isin counts overlapping 8-grams.
-    Rows-only (n-gram hashing is not SQL-expressible); semantics pinned by
-    a pure-Python oracle in tests."""
+    Oracle-paired since round 3: DuckDB computes the identical overlap on
+    n-gram STRINGS (hash-free), so a divergence IS a 64-bit hash collision
+    — the token hash was upgraded from crc32 to siphash13 to make that
+    contract meaningful at scale."""
     from ..stages.decontaminate import (
         bench_corpus_split,
         benchmark_ngram_index,
@@ -1629,10 +1631,10 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "knn_cosine": q_knn_cosine,
     "decontaminate_substring": q_decontaminate_substring,
+    "decontaminate_ngram": q_decontaminate_ngram,
     "dedup_page_lines": q_dedup_page_lines,
     # rows-only
     "latency_stats": q_latency_stats,
-    "decontaminate_ngram": q_decontaminate_ngram,
     "pack_sequences": q_pack_sequences,
     "doc_signatures": q_doc_signatures,
     "pii_scrub_corpus": q_pii_scrub_corpus,

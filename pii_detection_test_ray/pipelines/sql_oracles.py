@@ -168,6 +168,36 @@ ORACLES: dict[str, str] = {
         FROM corpus c JOIN bench b ON contains(c.text, b.phrase)
         GROUP BY c.doc_id
     """,
+    # Hash-free formulation of the token-8-gram overlap: n-grams as
+    # space-joined STRINGS (injective — tokens carry no whitespace), so the
+    # engine's 64-bit hash path diverges from this only on a hash collision.
+    # Corpus grams keep all positions (the engine counts positions, not
+    # distinct grams); bench grams are distinct.
+    "decontaminate_ngram": """
+        WITH corpus AS (
+            SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS tk
+            FROM documents
+            WHERE md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) NOT LIKE '0%'
+        ),
+        bench AS (
+            SELECT regexp_extract_all(text, '[^\\s]+') AS tk
+            FROM documents
+            WHERE md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) LIKE '0%'
+        ),
+        bench_g AS (
+            SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS gram
+            FROM bench,
+                 LATERAL (SELECT unnest(range(1, greatest(len(tk) - 6, 1))) AS i)
+        ),
+        corpus_g AS (
+            SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS gram
+            FROM corpus,
+                 LATERAL (SELECT unnest(range(1, greatest(len(tk) - 6, 1))) AS i)
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM corpus_g JOIN bench_g USING (gram)
+        GROUP BY doc_id
+    """,
     "dedup_page_lines": """
         SELECT doc_id,
                array_to_string(

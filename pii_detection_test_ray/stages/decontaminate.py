@@ -13,10 +13,16 @@ Two operators, both shuffle-free:
   ``pc.match_substring`` pass per phrase.
 * ``ngram_contamination`` — token n-gram hash overlap (the published
   decontamination method: a doc is contaminated when it shares any n-gram
-  with the benchmark). Token hashes are crc32 (deterministic across
-  processes, unlike Python ``hash``); n-gram hashes are a polynomial roll
+  with the benchmark). Token hashes are pandas' fixed-key siphash13
+  (64-bit, vectorized, deterministic across processes — upgraded from
+  crc32, whose 32-bit space starts colliding around 65k distinct tokens,
+  i.e. immediately at web scale); n-gram hashes are a polynomial roll
   over a numpy sliding window (vectorized, uint64 wraparound); membership
-  is one ``np.isin`` against the sorted broadcast benchmark array.
+  is one ``np.isin`` against the sorted broadcast benchmark array. With
+  64-bit token hashes the operator is oracle-paired: DuckDB computes the
+  same overlap on n-gram STRINGS (space-joined — injective, tokens carry
+  no whitespace), so any divergence IS a hash collision; none occur at
+  test scale and the expected count at 100 TB is ~N²/2⁶⁵ per doc pair.
 
 Partitioning assumption (documented like the joins): the benchmark side
 fits in one broadcast object — true by definition of an eval set. The
@@ -26,8 +32,6 @@ anything corpus-sized.
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -40,6 +44,35 @@ from ..functions.quality import tokenize_ws
 # Polynomial base for the n-gram roll; any odd 64-bit constant works
 # (uint64 multiplication wraps, which is the intended modulus).
 _NGRAM_BASE = np.uint64(1099511628211)
+
+
+def _ngram_hashes_batch(texts: list, n: int) -> list[np.ndarray]:
+    """uint64 n-gram hashes for every text of a batch with ONE vectorized
+    token-hash call: tokens of all docs are flattened, siphashed together
+    (``pd.util.hash_array`` — fixed-key, process-stable), then split back
+    per doc and windowed. None/short docs yield empty arrays."""
+    import pandas as pd
+
+    toks = [tokenize_ws(t or "") for t in texts]
+    flat = [t for doc in toks for t in doc]
+    empty = np.empty(0, np.uint64)
+    if not flat:
+        return [empty for _ in toks]
+    th = pd.util.hash_array(np.asarray(flat, dtype=object), categorize=False)
+    powers = _NGRAM_BASE ** np.arange(n, dtype=np.uint64)
+    out: list[np.ndarray] = []
+    pos = 0
+    for doc in toks:
+        m = len(doc)
+        if m < n:
+            out.append(empty)
+        else:
+            windows = np.lib.stride_tricks.sliding_window_view(
+                th[pos : pos + m], n
+            )
+            out.append(windows @ powers)  # uint64 dot: wraps mod 2^64
+        pos += m
+    return out
 
 
 def bench_corpus_split(
@@ -76,15 +109,7 @@ def bench_corpus_split(
 def ngram_hashes(text: str, n: int = 8) -> np.ndarray:
     """uint64 hashes of all whitespace-token n-grams of ``text`` (empty
     array when the doc has fewer than ``n`` tokens)."""
-    tokens = tokenize_ws(text)
-    if len(tokens) < n:
-        return np.empty(0, np.uint64)
-    th = np.fromiter(
-        (zlib.crc32(t.encode()) for t in tokens), np.uint64, len(tokens)
-    )
-    windows = np.lib.stride_tricks.sliding_window_view(th, n)
-    powers = _NGRAM_BASE ** np.arange(n, dtype=np.uint64)
-    return windows @ powers  # uint64 dot: wraps mod 2^64
+    return _ngram_hashes_batch([text], n)[0]
 
 
 def benchmark_ngram_index(
@@ -100,7 +125,9 @@ def benchmark_ngram_index(
                 "h": pa.array(
                     np.unique(
                         np.concatenate(
-                            [ngram_hashes(t or "", n) for t in b.column(text_col).to_pylist()]
+                            _ngram_hashes_batch(
+                                b.column(text_col).to_pylist(), n
+                            )
                             or [np.empty(0, np.uint64)]
                         )
                     )
@@ -132,10 +159,7 @@ def ngram_contamination(
 
     def score(batch: pa.Table) -> pa.Table:
         bench_sorted = ray.get(bench_index)
-        per_doc = [
-            ngram_hashes(text or "", n)
-            for text in batch.column(text_col).to_pylist()
-        ]
+        per_doc = _ngram_hashes_batch(batch.column(text_col).to_pylist(), n)
         lengths = np.array([g.size for g in per_doc], np.int64)
         if lengths.sum() == 0 or bench_sorted.size == 0:
             counts = np.zeros(len(per_doc), np.int64)

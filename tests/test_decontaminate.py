@@ -2,9 +2,8 @@
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
+import pandas as pd
 import pytest
 import ray.data
 
@@ -13,7 +12,9 @@ pytestmark = pytest.mark.usefixtures("ray_session")
 
 def _brute_ngrams(text: str, n: int) -> set[int]:
     """Independent reimplementation of the n-gram hash (per-gram polynomial
-    sum instead of the vectorized sliding-window dot)."""
+    sum instead of the vectorized sliding-window dot). Token hash = pandas'
+    fixed-key siphash13, called one token at a time here (the engine hashes
+    a whole batch's tokens in one call — same function, same values)."""
     from pii_detection_test_ray.functions.quality import tokenize_ws
 
     tokens = tokenize_ws(text)
@@ -22,7 +23,12 @@ def _brute_ngrams(text: str, n: int) -> set[int]:
     for i in range(len(tokens) - n + 1):
         h = 0
         for j, tok in enumerate(tokens[i : i + n]):
-            h = (h + zlib.crc32(tok.encode()) * pow(base, j, 2**64)) % 2**64
+            th = int(
+                pd.util.hash_array(
+                    np.asarray([tok], dtype=object), categorize=False
+                )[0]
+            )
+            h = (h + th * pow(base, j, 2**64)) % 2**64
         out.add(h)
     return out
 
