@@ -108,7 +108,7 @@ def q_quality_stats(sf_dir: str) -> ray.data.Dataset:
 
         texts = batch.column("text").to_pylist()
         n_chars = batch.column("n_chars").to_pylist()
-        tok_lists = [tokenize_ws(t) for t in texts]  # tokenize ONCE per doc
+        tok_lists = [tokenize_ws(t or "") for t in texts]  # tokenize ONCE per doc
         words = [len(toks) for toks in tok_lists]
         distinct = [len(set(toks)) for toks in tok_lists]  # exact int count
         keep = [
@@ -157,7 +157,7 @@ def q_fingerprints(sf_dir: str) -> ray.data.Dataset:
             {
                 "doc_id": batch.column("doc_id"),
                 "fingerprint": pa.array(
-                    [text_fingerprint_md5(t) for t in batch.column("text").to_pylist()],
+                    [text_fingerprint_md5(t or "") for t in batch.column("text").to_pylist()],
                     pa.string(),
                 ),
             }
@@ -175,7 +175,7 @@ def q_token_counts(sf_dir: str) -> ray.data.Dataset:
             {
                 "source": batch.column("source"),
                 "n_tokens": pa.array(
-                    [token_count(t) for t in batch.column("text").to_pylist()],
+                    [token_count(t or "") for t in batch.column("text").to_pylist()],
                     pa.int64(),
                 ),
             }
@@ -296,7 +296,7 @@ def q_symbol_stats(sf_dir: str) -> ray.data.Dataset:
     ds = _read(sf_dir, "documents", ["source", "text"])
 
     def count_symbols(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
+        texts = [t or "" for t in batch.column("text").to_pylist()]
         return pa.table(
             {
                 "source": batch.column("source"),
@@ -386,7 +386,7 @@ def q_deterministic_sample(sf_dir: str) -> ray.data.Dataset:
 
     def sample(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        mask = [text_fingerprint_md5(t).startswith("0") for t in texts]
+        mask = [text_fingerprint_md5(t or "").startswith("0") for t in texts]
         return pa.table(
             {"doc_id": batch.column("doc_id")}
         ).filter(pa.array(mask, pa.bool_()))
@@ -1336,15 +1336,15 @@ def q_doc_signatures(sf_dir: str) -> ray.data.Dataset:
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_tokens": pa.array([_tc(t) for t in texts], pa.int64()),
+                "n_tokens": pa.array([_tc(t or "") for t in texts], pa.int64()),
                 "rolling_fp": pa.array(
-                    [rolling_fingerprint(t) & 0x7FFFFFFFFFFFFFFF for t in texts],
+                    [rolling_fingerprint(t or "") & 0x7FFFFFFFFFFFFFFF for t in texts],
                     pa.int64(),
                 ),
                 "simhash": pa.array(
                     [
                         (lambda sh: sh - (1 << 64) if sh >= (1 << 63) else sh)(
-                            simhash64(t)
+                            simhash64(t or "")
                         )
                         for t in texts
                     ],

@@ -44,7 +44,7 @@ from ..functions.hashing import (
 
 def _add_fingerprint(batch: pa.Table, text_col: str, normalize: bool) -> pa.Table:
     fps = [
-        text_fingerprint(t, normalize=normalize)
+        text_fingerprint(t or "", normalize=normalize)
         for t in batch.column(text_col).to_pylist()
     ]
     return batch.append_column("__fp", pa.array(fps, pa.string()))
@@ -113,7 +113,7 @@ def _band_rows(
     out_id: list = []
     out_sig: list[list[int]] = []
     for doc_id, text in zip(ids, texts):
-        sig = hasher.signature_for_text(text, ngram)
+        sig = hasher.signature_for_text(text or "", ngram)
         sig_list = sig.tolist()
         for band, key in enumerate(lsh_band_keys(sig, num_bands)):
             out_key.append(key & 0x7FFFFFFFFFFFFFFF)
@@ -414,7 +414,7 @@ def simhash_duplicate_pairs(
         texts = batch.column(text_col).to_pylist()
         out_key, out_id, out_hash = [], [], []
         for doc_id, text in zip(ids, texts):
-            sh = simhash64(text)
+            sh = simhash64(text or "")
             for c in range(4):
                 chunk = (sh >> (16 * c)) & 0xFFFF
                 out_key.append((c << 16) | chunk)

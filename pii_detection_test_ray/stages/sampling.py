@@ -44,7 +44,7 @@ def stratified_hash_sample(
         strata = batch.column(strata_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         mask = [
-            text_fingerprint_md5(t)[:4] < thresholds.get(s, default_threshold)
+            text_fingerprint_md5(t or "")[:4] < thresholds.get(s, default_threshold)
             for s, t in zip(strata, texts)
         ]
         return batch.filter(pa.array(mask, pa.bool_()))

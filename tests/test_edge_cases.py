@@ -143,3 +143,55 @@ class TestJoinOperatorEdges:
         ).filter(lambda r: False)
         keys = ray.data.from_items([{"k": 1}], override_num_blocks=1)
         assert bucketed_semi_join(big, keys, "k", num_buckets=2).take_all() == []
+
+
+class TestNullTextRows:
+    """A NULL text row anywhere in the documents table must behave as ""
+    in every text operator (parquet from real crawls has them), not raise
+    TypeError — the round-2 advice found the guard applied inconsistently."""
+
+    @pytest.fixture()
+    def null_doc_dir(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    ["alpha beta gamma delta", None, "", "alpha beta gamma delta"],
+                    pa.string(),
+                ),
+                "lang": pa.array(["en", "en", "ko", "en"], pa.string()),
+                "source": pa.array(["web"] * 4, pa.string()),
+                "n_chars": pa.array([22, 0, 0, 22], pa.int64()),
+            }
+        )
+        pq.write_table(table, tmp_path / "documents.parquet")
+        return str(tmp_path)
+
+    def test_text_queries_survive_null_text(self, ray_session, null_doc_dir):
+        from pii_detection_test_ray.pipelines.queries import QUERIES
+
+        # every documents-only text operator that loops over the text column
+        names = [
+            "fingerprints", "token_counts", "quality_stats", "symbol_stats",
+            "gopher_repetition", "crossdoc_ngrams", "deterministic_sample",
+            "stratified_sample", "doc_signatures", "dedup_exact",
+            "dedup_page_lines", "bpe_token_counts", "vocab_top_tokens",
+            "lang_profile", "decontaminate_substring", "decontaminate_ngram",
+            "minhash_pairs", "simhash_pairs",
+        ]
+        for name in names:
+            rows = QUERIES[name](null_doc_dir).take_all()
+            assert isinstance(rows, list), name
+
+    def test_null_behaves_as_empty_string(self, ray_session, null_doc_dir):
+        from pii_detection_test_ray.pipelines.queries import QUERIES
+
+        rows = {r["doc_id"]: r for r in QUERIES["fingerprints"](null_doc_dir).take_all()}
+        # null text (doc 2) and "" text (doc 3) fingerprint identically
+        assert rows[2]["fingerprint"] == rows[3]["fingerprint"]
+        assert rows[1]["fingerprint"] != rows[2]["fingerprint"]
+        gop = {r["doc_id"]: r for r in QUERIES["gopher_repetition"](null_doc_dir).take_all()}
+        assert gop[2]["n_tokens"] == 0 and gop[2]["keep_flag"] == 1
