@@ -316,6 +316,80 @@ def q_symbol_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
+    """Distributed TF-IDF-style keyword extraction: each document's top-3
+    terms by term-frequency over document-frequency (exact int/int double
+    division — no transcendental idf, so the value hash matches DuckDB
+    bit-for-bit; same ordering intuition: rare-elsewhere, frequent-here).
+
+    The inverted-index build shape, end to end scale-safe:
+    (doc, term, tf) pairs stream map-only → df comes from per-batch
+    (term, count) combiner partials + a small groupby (pairs are distinct
+    per (doc, term) by construction, so row counts per term ARE document
+    frequencies under ANY batching; the exchange is bounded by
+    vocabulary × blocks, never a token stream) → pairs ⋈ df via the bucketed hash join (df can be
+    vocabulary-sized at 100 TB — too big to broadcast) → coarse-bucketed
+    per-doc top-k (one task per hash bucket, no per-group Python)."""
+    from ..functions.quality import tokenize_ws
+    from ..stages.joins import bucketed_hash_join
+    from ..stages.windows import top_k_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_pairs(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            counts: dict[str, int] = {}
+            for tok in tokenize_ws(t or ""):
+                counts[tok] = counts.get(tok, 0) + 1
+            ids.extend([doc_id] * len(counts))
+            terms.extend(counts)
+            tfs.extend(counts.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow")
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        terms, counts = np.unique(
+            batch.column("term").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    df = _rename(
+        pairs.map_batches(df_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n")),
+        {"sum(n)": "df"},
+    )
+
+    scored = bucketed_hash_join(pairs, df, "term").map_batches(
+        lambda t: t.append_column(
+            "score",
+            pc.divide(
+                pc.cast(t.column("tf"), pa.float64()),
+                pc.cast(t.column("df"), pa.float64()),
+            ),
+        ).select(["doc_id", "term", "score"]),
+        batch_format="pyarrow",
+    )
+    return top_k_per_group(scored, "doc_id", "score", "term", k=3)
+
+
 def q_gopher_repetition(sf_dir: str) -> ray.data.Dataset:
     """Per-document Gopher/MassiveText repetition filter signals (top-2-gram
     character coverage, duplicate-3-gram count, integer keep flag) — the
@@ -1612,6 +1686,7 @@ QUERIES = {
     "symbol_stats": q_symbol_stats,
     "gopher_repetition": q_gopher_repetition,
     "crossdoc_ngrams": q_crossdoc_ngrams,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "deterministic_sample": q_deterministic_sample,
     "stratified_sample": q_stratified_sample,
     "top_longest": q_top_longest,
@@ -1620,7 +1695,6 @@ QUERIES = {
     "order_priority_revenue": q_order_priority_revenue,
     "orders_semi_join": q_orders_semi_join,
     "orders_anti_join": q_orders_anti_join,
-    "events_rollup": q_events_rollup,
     "events_asof_orders": q_events_asof_orders,
     "value_bands": q_value_bands,
     "approx_distinct_users": q_approx_distinct_users,
@@ -1658,6 +1732,7 @@ QUERIES = {
     # keeps a hash-green sibling inside the window) ---
     "orders_by_segment": q_orders_by_segment,
     "events_span": q_events_span,
+    "events_rollup": q_events_rollup,
     "parts_by_brand": q_parts_by_brand,
     "supplier_balances": q_supplier_balances,
     "acctbal_sign_stats": q_acctbal_sign_stats,

@@ -60,6 +60,34 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY lang
     """,
+    # Score is tf ÷ df computed as one IEEE double division of two exact
+    # integers on both engines — bit-identical, unlike a transcendental idf.
+    "tfidf_top_terms": """
+        WITH tfc AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '[^\\s]+')) AS term
+                FROM documents
+            )
+            GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, count(*) AS df FROM tfc GROUP BY term
+        ),
+        ranked AS (
+            SELECT t.doc_id, t.term,
+                   CAST(t.tf AS DOUBLE) / d.df AS score,
+                   row_number() OVER (
+                       PARTITION BY t.doc_id
+                       ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.term
+                   ) AS rnk
+            FROM tfc t JOIN df d USING (term)
+        )
+        SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rank
+        FROM ranked
+        WHERE rnk <= 3
+    """,
     "gopher_repetition": """
         WITH toks AS (
             SELECT doc_id, length(text) AS n_chars,

@@ -180,7 +180,7 @@ class TestNullTextRows:
             "stratified_sample", "doc_signatures", "dedup_exact",
             "dedup_page_lines", "bpe_token_counts", "vocab_top_tokens",
             "lang_profile", "decontaminate_substring", "decontaminate_ngram",
-            "minhash_pairs", "simhash_pairs",
+            "minhash_pairs", "simhash_pairs", "tfidf_top_terms",
         ]
         for name in names:
             rows = QUERIES[name](null_doc_dir).take_all()
