@@ -164,6 +164,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "stratified_sample": Q.q_stratified_sample,
         "decontaminate_substring": Q.q_decontaminate_substring,
         "dedup_page_lines": Q.q_dedup_page_lines,
+        "gopher_repetition": Q.q_gopher_repetition,
+        "crossdoc_ngrams": Q.q_crossdoc_ngrams,
+        "tfidf_top_terms": Q.q_tfidf_top_terms,
+        "decontaminate_ngram": Q.q_decontaminate_ngram,
     }
     for name, fn in suite.items():
         best = float("inf")

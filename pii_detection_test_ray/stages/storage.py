@@ -1,0 +1,114 @@
+"""Storage-side bucketing: write a table hash-partitioned by a key once,
+then join/aggregate bucket-by-bucket with ZERO runtime shuffle — the
+Hive-bucketed-join move. At 100 TB the win is structural: a table that is
+re-joined or re-grouped on the same key across many pipeline runs pays the
+all-to-all exchange once at write time, and every later run streams
+aligned bucket pairs (bucket b of the left can only match bucket b of the
+right, because both sides used the same ``bucket_ids`` hash).
+
+This is one of the two places the engine drops below the Dataset API on
+purpose (the other is the shared dedup index): the per-bucket join is raw
+Ray tasks + ``from_arrow_refs``, because the Dataset API cannot express
+"these two on-disk partitionings are already aligned — do NOT exchange".
+
+Partitioning assumptions (documented like the other wide operators):
+* both sides were written by ``write_bucketed`` with the SAME
+  ``num_buckets`` (checked — the writer records it in a manifest);
+* bucket alignment relies on ``functions.hashing.bucket_ids``, which
+  normalizes integer widths and temporal precisions before hashing, so an
+  int32 key on one side and int64 on the other still co-bucket;
+* non-key column names must not collide (same contract as the runtime
+  bucketed join).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..functions.hashing import bucket_ids
+
+_MANIFEST = "_bucketing.json"
+
+
+def write_bucketed(
+    ds: ray.data.Dataset, path: str, key: str, num_buckets: int = 32
+) -> str:
+    """Write ``ds`` as Hive-partitioned parquet ``path/__bucket=<b>/...``,
+    bucketed by ``hash64(key) % num_buckets``, plus a manifest recording
+    the bucketing spec so readers can verify alignment."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = bucket_ids(batch.column(key), num_buckets)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["__bucket"]
+    )
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump({"key": key, "num_buckets": num_buckets}, f)
+    return path
+
+
+def _read_spec(path: str) -> dict:
+    with open(os.path.join(path, _MANIFEST)) as f:
+        return json.load(f)
+
+
+def _read_bucket(path: str, b: int) -> pa.Table | None:
+    d = os.path.join(path, f"__bucket={b}")
+    if not os.path.isdir(d):
+        return None
+    return pq.read_table(d)
+
+
+def join_bucketed(
+    left_path: str, right_path: str, key: str
+) -> ray.data.Dataset:
+    """Inner join of two ``write_bucketed`` outputs on their shared key —
+    one Ray task per aligned bucket pair, no exchange of any kind. Output
+    columns = left ∪ right (right's key dropped, Arrow join semantics)."""
+    lspec, rspec = _read_spec(left_path), _read_spec(right_path)
+    if lspec != {"key": key, "num_buckets": lspec["num_buckets"]} or rspec != {
+        "key": key,
+        "num_buckets": lspec["num_buckets"],
+    }:
+        raise ValueError(
+            f"bucketing mismatch: left={lspec} right={rspec} want key={key!r} "
+            "and equal num_buckets — rewrite one side with write_bucketed"
+        )
+    num_buckets = lspec["num_buckets"]
+
+    @ray.remote
+    def join_one(b: int) -> pa.Table:
+        lt = _read_bucket(left_path, b)
+        rt = _read_bucket(right_path, b)
+        if lt is None or rt is None or lt.num_rows == 0 or rt.num_rows == 0:
+            # empty inner join, but with the joined schema so Ray Data can
+            # union the blocks
+            lt = lt if lt is not None else pq.read_table(
+                _first_bucket_dir(left_path)
+            ).slice(0, 0)
+            rt = rt if rt is not None else pq.read_table(
+                _first_bucket_dir(right_path)
+            ).slice(0, 0)
+            return lt.slice(0, 0).join(
+                rt.slice(0, 0), keys=[key], join_type="inner"
+            )
+        # pyarrow defaults to LEFT OUTER; this operator is an inner join.
+        return lt.join(rt, keys=[key], join_type="inner")
+
+    refs = [join_one.remote(b) for b in range(num_buckets)]
+    return ray.data.from_arrow_refs(refs)
+
+
+def _first_bucket_dir(path: str) -> str:
+    for name in sorted(os.listdir(path)):
+        if name.startswith("__bucket="):
+            return os.path.join(path, name)
+    raise FileNotFoundError(f"no bucket partitions under {path}")

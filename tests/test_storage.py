@@ -1,0 +1,146 @@
+"""Storage-side bucketing: write-once hash partitioning + zero-shuffle
+aligned bucket joins (stages/storage.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+import ray.data
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _write_sides(tmp_path, num_buckets=8):
+    from pii_detection_test_ray.stages.storage import write_bucketed
+
+    left_rows = [{"k": i % 23, "lv": i} for i in range(200)]
+    right_rows = [{"k": k, "rv": f"r{k}"} for k in range(17)]  # keys 17..22 unmatched
+    lp = write_bucketed(
+        ray.data.from_items(left_rows, override_num_blocks=3),
+        str(tmp_path / "left"),
+        key="k",
+        num_buckets=num_buckets,
+    )
+    rp = write_bucketed(
+        ray.data.from_items(right_rows, override_num_blocks=1),
+        str(tmp_path / "right"),
+        key="k",
+        num_buckets=num_buckets,
+    )
+    return lp, rp, left_rows, right_rows
+
+
+def test_bucketed_write_then_join_matches_inner_join(ray_session, tmp_path):
+    from pii_detection_test_ray.stages.storage import join_bucketed
+
+    lp, rp, left_rows, _ = _write_sides(tmp_path)
+    out = join_bucketed(lp, rp, key="k").take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+    expected = sorted(
+        (l["k"], l["lv"], f"r{l['k']}") for l in left_rows if l["k"] < 17
+    )
+    assert got == expected
+
+
+def test_bucketed_layout_is_aligned_hive_partitions(ray_session, tmp_path):
+    """Bucket b on the left can only match bucket b on the right: verify the
+    on-disk partitioning really is by the shared bucket hash, and that a
+    manifest records the spec."""
+    import pyarrow.parquet as pq
+
+    from pii_detection_test_ray.functions.hashing import bucket_of
+
+    lp, rp, _, _ = _write_sides(tmp_path)
+    for path in (lp, rp):
+        spec = json.load(open(os.path.join(path, "_bucketing.json")))
+        assert spec == {"key": "k", "num_buckets": 8}
+        for name in os.listdir(path):
+            if not name.startswith("__bucket="):
+                continue
+            b = int(name.split("=")[1])
+            t = pq.read_table(os.path.join(path, name))
+            assert "__bucket" not in t.column_names  # key lives in the path
+            assert all(bucket_of(k, 8) == b for k in t.column("k").to_pylist())
+
+
+def test_join_bucketed_rejects_mismatched_spec(ray_session, tmp_path):
+    from pii_detection_test_ray.stages.storage import join_bucketed, write_bucketed
+
+    a = write_bucketed(
+        ray.data.from_items([{"k": 1, "x": 1}], override_num_blocks=1),
+        str(tmp_path / "a"),
+        key="k",
+        num_buckets=4,
+    )
+    b = write_bucketed(
+        ray.data.from_items([{"k": 1, "y": 2}], override_num_blocks=1),
+        str(tmp_path / "b"),
+        key="k",
+        num_buckets=8,
+    )
+    with pytest.raises(ValueError, match="bucketing mismatch"):
+        join_bucketed(a, b, key="k")
+    with pytest.raises(ValueError, match="bucketing mismatch"):
+        join_bucketed(a, a, key="other")
+
+
+def test_join_bucketed_handles_empty_buckets(ray_session, tmp_path):
+    """More buckets than distinct keys → some bucket dirs missing on one or
+    both sides; the join must still produce the exact inner-join rows."""
+    from pii_detection_test_ray.stages.storage import join_bucketed, write_bucketed
+
+    lp = write_bucketed(
+        ray.data.from_items([{"k": 1, "lv": 10}, {"k": 2, "lv": 20}]),
+        str(tmp_path / "l"),
+        key="k",
+        num_buckets=32,
+    )
+    rp = write_bucketed(
+        ray.data.from_items([{"k": 2, "rv": "x"}, {"k": 3, "rv": "y"}]),
+        str(tmp_path / "r"),
+        key="k",
+        num_buckets=32,
+    )
+    out = join_bucketed(lp, rp, key="k").take_all()
+    assert [(r["k"], r["lv"], r["rv"]) for r in out] == [(2, 20, "x")]
+
+
+def test_bucketed_join_matches_duckdb_on_tpch_slice(ray_session, tmp_path):
+    """End-to-end vs DuckDB on the sf0.001 tables: customer ⋈ orders on
+    custkey through the storage-bucketed path."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("no testdata")
+    from pii_detection_test_ray.stages.storage import join_bucketed, write_bucketed
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf, "orders.parquet"), columns=["o_custkey", "o_orderkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["c_custkey", "o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    cp = write_bucketed(cust, str(tmp_path / "cust"), key="c_custkey", num_buckets=8)
+    op = write_bucketed(orders, str(tmp_path / "ord"), key="c_custkey", num_buckets=8)
+    got = sorted(
+        (r["c_custkey"], r["o_orderkey"], r["c_mktsegment"])
+        for r in join_bucketed(cp, op, key="c_custkey").take_all()
+    )
+    con = duckdb.connect()
+    expected = sorted(
+        tuple(row)
+        for row in con.execute(
+            f"""
+            SELECT c.c_custkey, o.o_orderkey, c.c_mktsegment
+            FROM read_parquet('{sf}/customer.parquet') c
+            JOIN read_parquet('{sf}/orders.parquet') o ON o.o_custkey = c.c_custkey
+            """
+        ).fetchall()
+    )
+    assert got == expected
