@@ -1563,6 +1563,22 @@ def q_ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
     return ngram_jaccard_pairs(ds, threshold=0.5)
 
 
+def q_jaccard_pairs_exact(sf_dir: str) -> ray.data.Dataset:
+    """EXACT all-pairs 3-gram Jaccard ≥ 0.5 over the documents table via
+    the distributed inverted-index plan (stages/dedup.jaccard_pairs_exact)
+    — the SQL-verifiable member of the near-dup family: the DuckDB oracle
+    is a postings self-join on string grams with the identical df ≤ 50
+    stop-gram cap, so every pair, shared-gram count and jaccard value is
+    hash-compared (the LSH siblings are approximate candidate generators
+    and stay rows-only)."""
+    from ..stages.dedup import jaccard_pairs_exact
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_pairs_exact(
+        ds, id_col="doc_id", text_col="text", ngram=3, max_df=50, threshold=0.5
+    )
+
+
 def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     """Embedding near-dup over the driver's embeddings table (64-dim).
     Random embeddings have no cosine≥0.95 neighbors, so the operator would
@@ -1707,10 +1723,10 @@ QUERIES = {
     "decontaminate_substring": q_decontaminate_substring,
     "decontaminate_ngram": q_decontaminate_ngram,
     "dedup_page_lines": q_dedup_page_lines,
+    "jaccard_pairs_exact": q_jaccard_pairs_exact,
     # rows-only
     "latency_stats": q_latency_stats,
     "pack_sequences": q_pack_sequences,
-    "doc_signatures": q_doc_signatures,
     "pii_scrub_corpus": q_pii_scrub_corpus,
     "pii_eval_rollup": q_pii_eval_rollup,
     "difficulty_rollup": q_difficulty_rollup,
@@ -1729,7 +1745,10 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     # --- entries past the driver's 50-query window (shape-duplicates; all
     # hash-green in CORRECTNESS_r02 and still pytest-verified; every family
-    # keeps a hash-green sibling inside the window) ---
+    # keeps a hash-green sibling inside the window; doc_signatures is
+    # rows-only with its kernels unit-pinned (fingerprints★ is the
+    # SQL-verified sibling), parked to keep jaccard_pairs_exact inside ---
+    "doc_signatures": q_doc_signatures,
     "orders_by_segment": q_orders_by_segment,
     "events_span": q_events_span,
     "events_rollup": q_events_rollup,

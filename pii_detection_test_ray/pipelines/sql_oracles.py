@@ -242,6 +242,42 @@ ORACLES: dict[str, str] = {
         FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
               FROM documents)
     """,
+    # Exact all-pairs 3-gram Jaccard, mirroring the engine's inverted-index
+    # semantics exactly: distinct space-joined token 3-grams per doc, |A|
+    # counts ALL of a doc's grams, candidate pairs only through grams with
+    # df ≤ 50 (the stop-gram cap applied identically on both sides),
+    # jaccard = shared / (|A|+|B|-shared) as one exact int/int division.
+    "jaccard_pairs_exact": """
+        WITH tk AS (
+            SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+            FROM tk,
+                 LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 1))) AS i)
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        ),
+        keep AS (
+            SELECT doc_id, gram FROM grams
+            QUALIFY count(*) OVER (PARTITION BY gram) <= 50
+        ),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM keep a JOIN keep b
+              ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT s.id_a, s.id_b, s.shared,
+               CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) AS jaccard
+        FROM shared s
+        JOIN sizes sa ON sa.doc_id = s.id_a
+        JOIN sizes sb ON sb.doc_id = s.id_b
+        WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5
+    """,
     "stratified_sample": """
         SELECT lang, doc_id
         FROM documents

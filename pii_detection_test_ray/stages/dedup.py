@@ -676,3 +676,144 @@ def embedding_duplicate_pairs(
         ds.map_batches(emit_bucket, batch_format="pyarrow"), "bucket", verify
     )
     return _first_per_pair(pairs, "cosine")
+
+
+# ---------------------------------------------------------------------------
+# EXACT all-pairs n-gram Jaccard via a distributed inverted index
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs_exact(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    max_df: int = 50,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """All document pairs with exact n-gram Jaccard ≥ threshold — no LSH,
+    no sampling — via the classic inverted-index (postings) plan, fully
+    SQL-expressible so the driver hash-compares it against a DuckDB
+    self-join oracle (the LSH siblings above are candidate-generation
+    approximations and stay rows-only).
+
+    Shared semantics with the oracle, pinned exactly:
+
+    * a doc's gram set = DISTINCT space-joined runs of ``ngram`` whitespace
+      tokens (``tokenize_ws`` — the cross-engine ``[^\\s]+`` contract);
+      ``|A|`` counts ALL of a doc's distinct grams;
+    * candidate pairs come only from grams with document frequency
+      2 ≤ df ≤ ``max_df``. The cap is the scale story: per-gram pair
+      emission is O(df²), and the grams that would blow it up (site
+      boilerplate shared by millions of pages) carry no dedup signal —
+      dropping them is the standard stop-gram move, and the oracle drops
+      them identically;
+    * jaccard = shared / (|A| + |B| − shared) — TRUE Jaccard whenever no
+      shared gram was capped (threshold ≥ 0.5 pairs share mostly rare
+      grams, so the estimator is exact on the pairs that matter).
+
+    Exchanges: (1) postings keyed by a 64-bit gram hash (uniform by
+    construction; volume = distinct (gram, doc) pairs — 16 bytes + id each,
+    never text); (2) the (id_a, id_b) pair aggregate, bounded by
+    max_df²/2 × capped-gram count. Per-doc gram counts ride WITH the
+    postings (one int), so no third join is needed to assemble |A|,|B|.
+    A 64-bit gram-hash collision merging two grams is the same accepted
+    risk as the decontamination index (divergence from the string-gram
+    oracle IS a collision)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.quality import tokenize_ws
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_ids: list = []
+        out_n: list[int] = []
+        grams: list[str] = []
+        for i, t in zip(ids, texts):
+            toks = tokenize_ws(t or "")
+            doc_grams = list(
+                dict.fromkeys(
+                    " ".join(toks[j : j + ngram])
+                    for j in range(len(toks) - ngram + 1)
+                )
+            )
+            grams.extend(doc_grams)
+            out_ids.extend([i] * len(doc_grams))
+            out_n.extend([len(doc_grams)] * len(doc_grams))
+        ghash = pd.util.hash_array(
+            np.asarray(grams, dtype=object), categorize=False
+        ).view(np.int64) if grams else np.empty(0, dtype=np.int64)
+        id_type = batch.schema.field(id_col).type
+        return pa.table(
+            {
+                "ghash": pa.array(ghash, pa.int64()),
+                id_col: pa.array(out_ids, id_type),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def pairs_for_gram(run: pa.Table) -> pa.Table:
+        id_type = run.schema.field(id_col).type
+        empty = pa.table(
+            {
+                "id_a": pa.array([], id_type),
+                "id_b": pa.array([], id_type),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+            }
+        )
+        if run.num_rows < 2 or run.num_rows > max_df:
+            return empty
+        ids = run.column(id_col).to_pylist()
+        ns = run.column("n").to_pylist()
+        order = sorted(range(len(ids)), key=lambda k: ids[k])
+        a_out, b_out, na_out, nb_out = [], [], [], []
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if ids[i] == ids[j]:
+                    continue
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+                na_out.append(ns[i])
+                nb_out.append(ns[j])
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, id_type),
+                "id_b": pa.array(b_out, id_type),
+                "n_a": pa.array(na_out, pa.int64()),
+                "n_b": pa.array(nb_out, pa.int64()),
+            }
+        )
+
+    raw_pairs = _coarse_bucketed_pairs(
+        ds.map_batches(postings, batch_format="pyarrow"),
+        "ghash",
+        pairs_for_gram,
+    )
+    agg = raw_pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(), Min("n_a"), Min("n_b")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        shared = pc.cast(batch.column("count()"), pa.int64())
+        union = pc.subtract(
+            pc.add(batch.column("min(n_a)"), batch.column("min(n_b)")), shared
+        )
+        jac = pc.divide(
+            pc.cast(shared, pa.float64()), pc.cast(union, pa.float64())
+        )
+        out = pa.table(
+            {
+                "id_a": batch.column("id_a"),
+                "id_b": batch.column("id_b"),
+                "shared": shared,
+                "jaccard": jac,
+            }
+        )
+        return out.filter(pc.greater_equal(jac, pa.scalar(threshold)))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

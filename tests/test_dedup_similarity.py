@@ -322,3 +322,67 @@ def test_dedup_minhash_no_driver_materialization(ray_session):
     kept = sorted(r["url"] for r in dedup.dedup_minhash(ds, threshold=0.9).take_all())
     assert "d000" in kept and all(not k.startswith("d") or k == "d000" for k in kept)
     assert [k for k in kept if k.startswith("z")] == [f"z{i:03d}" for i in range(10)]
+
+
+def test_jaccard_pairs_exact_matches_bruteforce(ray_session):
+    """Inverted-index all-pairs Jaccard == a pure-Python brute force over
+    every pair, on a corpus with exact dups, near dups, and unrelated
+    filler — the pure-oracle analog of the DuckDB pairing in
+    test_oracle_parity."""
+    from pii_detection_test_ray.functions.quality import tokenize_ws
+    from pii_detection_test_ray.stages.dedup import jaccard_pairs_exact
+
+    rows = [
+        {"doc_id": i, "text": r["text"]}
+        for i, r in enumerate(_docs_with_dups())
+    ]
+
+    def gramset(t):
+        toks = tokenize_ws(t)
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {r["doc_id"]: gramset(r["text"]) for r in rows}
+    expected = {}
+    for a in rows:
+        for b in rows:
+            if a["doc_id"] >= b["doc_id"]:
+                continue
+            inter = sets[a["doc_id"]] & sets[b["doc_id"]]
+            union = sets[a["doc_id"]] | sets[b["doc_id"]]
+            if union and len(inter) / len(union) >= 0.5:
+                expected[(a["doc_id"], b["doc_id"])] = (
+                    len(inter),
+                    len(inter) / len(union),
+                )
+
+    ds = ray.data.from_items(rows, override_num_blocks=3)
+    got = {
+        (p["id_a"], p["id_b"]): (p["shared"], p["jaccard"])
+        for p in jaccard_pairs_exact(ds, threshold=0.5).take_all()
+    }
+    assert got == expected and expected  # non-vacuous
+
+
+def test_jaccard_pairs_exact_df_cap_drops_boilerplate(ray_session):
+    """A gram shared by more docs than max_df must generate NO pairs
+    through that gram (the O(df²) stop-gram guarantee), while rare-gram
+    pairs still surface."""
+    from pii_detection_test_ray.stages.dedup import jaccard_pairs_exact
+
+    boiler = "all rights reserved by site"
+    rows = [
+        {"doc_id": i, "text": f"{boiler} unique{i} filler{i} token{i}"}
+        for i in range(12)
+    ]
+    rows += [
+        {"doc_id": 100, "text": "rare shared sentence appears twice only"},
+        {"doc_id": 101, "text": "rare shared sentence appears twice only"},
+    ]
+    ds = ray.data.from_items(rows, override_num_blocks=2)
+    got = {
+        (p["id_a"], p["id_b"])
+        for p in jaccard_pairs_exact(ds, max_df=4, threshold=0.1).take_all()
+    }
+    # Boilerplate grams have df=12 > 4 → capped; the only surviving route
+    # to a pair is the rare duplicated sentence.
+    assert got == {(100, 101)}

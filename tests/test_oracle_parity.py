@@ -37,6 +37,7 @@ QUERY_SLICE = [
     "dedup_page_lines",
     "bpe_token_counts",
     "vocab_top_tokens",
+    "jaccard_pairs_exact",
 ]
 
 
