@@ -751,6 +751,68 @@ def q_orders_by_segment(sf_dir: str) -> ray.data.Dataset:
     return _rename(agg, {"price_cents": "total_cents"})
 
 
+def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
+    """LEFT OUTER join shape: every customer with its count and total
+    spend over HIGH-VALUE orders (> $3000.00) — customers with none appear
+    with zeros (the filter makes the outer path non-vacuous: ~2% of
+    customers have no qualifying order at sf0.01). Scale plan: orders
+    pre-aggregate to one row per custkey (combiner partials — the exchange
+    carries (custkey, count, cents), never order rows), then a bucketed
+    LEFT OUTER join against customer fills unmatched rows with nulls
+    bucket-locally; a final map turns them into zeros. Money in cents,
+    counts int64 (the driver's dtype-strict contract)."""
+    from ..stages.joins import bucketed_hash_join
+    from ..stages.shuffle import partial_groupby_sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.greater(batch.column("o_totalprice"), pa.scalar(300000.0))
+        )
+        cents = pc.cast(
+            _round(pc.multiply(batch.column("o_totalprice"), 100.0), 0), pa.int64()
+        )
+        return pa.table(
+            {
+                "c_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+                "total_cents": cents,
+            }
+        )
+
+    agg = partial_groupby_sum(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["c_custkey"],
+        ["total_cents"],
+        count_as="n_orders",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("c_custkey"),
+            "c_custkey",
+            pc.cast(t.column("c_custkey"), pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(cust, agg, "c_custkey", join_type="left outer")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n_orders": pc.fill_null(
+                    pc.cast(batch.column("n_orders"), pa.int64()), 0
+                ),
+                "total_cents": pc.fill_null(
+                    pc.cast(batch.column("total_cents"), pa.int64()), 0
+                ),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
 def q_customers_per_region(sf_dir: str) -> ray.data.Dataset:
     """Two chained broadcast joins: customer ⋈ nation ⋈ region."""
     nations = {
@@ -1699,7 +1761,6 @@ QUERIES = {
     "token_counts": q_token_counts,
     "bpe_token_counts": q_bpe_token_counts,
     "vocab_top_tokens": q_vocab_top_tokens,
-    "symbol_stats": q_symbol_stats,
     "gopher_repetition": q_gopher_repetition,
     "crossdoc_ngrams": q_crossdoc_ngrams,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1708,6 +1769,7 @@ QUERIES = {
     "top_longest": q_top_longest,
     "lineitem_rollup": q_lineitem_rollup,
     "customers_per_region": q_customers_per_region,
+    "customer_order_counts": q_customer_order_counts,
     "order_priority_revenue": q_order_priority_revenue,
     "orders_semi_join": q_orders_semi_join,
     "orders_anti_join": q_orders_anti_join,
@@ -1747,8 +1809,10 @@ QUERIES = {
     # hash-green in CORRECTNESS_r02 and still pytest-verified; every family
     # keeps a hash-green sibling inside the window; doc_signatures is
     # rows-only with its kernels unit-pinned (fingerprints★ is the
-    # SQL-verified sibling), parked to keep jaccard_pairs_exact inside ---
+    # SQL-verified sibling), parked to keep jaccard_pairs_exact inside;
+    # symbol_stats (shape ≡ token_counts★) parked for customer_order_counts ---
     "doc_signatures": q_doc_signatures,
+    "symbol_stats": q_symbol_stats,
     "orders_by_segment": q_orders_by_segment,
     "events_span": q_events_span,
     "events_rollup": q_events_rollup,

@@ -309,6 +309,18 @@ ORACLES: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
+    "customer_order_counts": """
+        SELECT c.c_custkey,
+               c.c_mktsegment,
+               CAST(count(o.o_custkey) AS BIGINT) AS n_orders,
+               CAST(coalesce(
+                   sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)), 0
+               ) AS BIGINT) AS total_cents
+        FROM customer c
+        LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+          ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    """,
     "customers_per_region": """
         SELECT r.r_name,
                count(*) AS n_customers,

@@ -70,18 +70,27 @@ def bucketed_hash_join(
     right: ray.data.Dataset,
     key: str,
     num_buckets: int | None = None,
+    join_type: str = "inner",
 ) -> ray.data.Dataset:
-    """Inner join on ``key``. Output columns = left ∪ right (right's key
-    column dropped). Both inputs must share only the key column name."""
+    """Join on ``key`` (``inner`` or ``left outer``). Output columns =
+    left ∪ right (right's key column dropped; for ``left outer``,
+    unmatched left rows carry nulls in the right columns). Both inputs
+    must share only the key column name. Bucket alignment means an outer
+    join costs exactly what the inner join does — unmatched left rows
+    never leave their bucket."""
+    if join_type not in ("inner", "left outer"):
+        raise ValueError(f"unsupported join_type: {join_type!r}")
     if num_buckets is None:
         num_buckets = _auto_num_buckets(left, right)
     l_schema, r_schema = left.schema(), right.schema()
-    # Empty-and-schema-less side (a row-filter dropped everything): inner
+    # Empty-and-schema-less side (a row-filter dropped everything): the
     # join degrades to an empty result instead of crashing on .names.
+    # (For left outer with an unknowable right schema the right columns
+    # cannot be padded; the left rows pass through unchanged.)
     if l_schema is None:
         return left
     if r_schema is None:
-        return left.limit(0)
+        return left if join_type == "left outer" else left.limit(0)
     left_cols = list(l_schema.names)
     right_cols = list(r_schema.names)
     overlap = (set(left_cols) & set(right_cols)) - {key}
@@ -135,7 +144,7 @@ def bucketed_hash_join(
         lmask = pc.equal(group.column("__side"), "L")
         l_tbl = group.filter(lmask).select(left_cols)
         r_tbl = group.filter(pc.invert(lmask)).select(r_sel)
-        joined = l_tbl.join(r_tbl, keys=key, join_type="inner")
+        joined = l_tbl.join(r_tbl, keys=key, join_type=join_type)
         return joined.select(all_cols).cast(out_schema)
 
     return (

@@ -35,6 +35,26 @@ def test_bucketed_hash_join_matches_pandas(ray_session):
     assert got == expected
 
 
+def test_bucketed_left_outer_join(ray_session):
+    from pii_detection_test_ray.stages.joins import bucketed_hash_join
+
+    left_rows = [{"k": i, "lv": i * 10} for i in range(8)]
+    right_rows = [{"k": k, "rv": f"r{k}"} for k in (1, 3, 5)]
+    out = bucketed_hash_join(
+        ray.data.from_items(left_rows, override_num_blocks=2),
+        ray.data.from_items(right_rows, override_num_blocks=1),
+        key="k",
+        num_buckets=4,
+        join_type="left outer",
+    ).take_all()
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in out)
+    expected = sorted(
+        (l["k"], l["lv"], f"r{l['k']}" if l["k"] in (1, 3, 5) else None)
+        for l in left_rows
+    )
+    assert got == expected  # every left row survives; unmatched carry nulls
+
+
 def test_bucketed_hash_join_rejects_collision(ray_session):
     from pii_detection_test_ray.stages.joins import bucketed_hash_join
 
