@@ -813,6 +813,45 @@ def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def q_exact_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """EXACT per-group quantiles (percentile_disc semantics) via the
+    bounded-domain histogram plan — the exact counterpart to the sketch
+    path (``value_quantiles``): when the value column has bounded
+    cardinality (doc lengths, scores, sizes), groupby (group, value) with
+    combiner partials yields a tiny histogram exchange — groups × distinct
+    values rows, independent of corpus row count — and an in-group
+    cumulative scan reads any quantile exactly. Integer cross-multiplied
+    rank test (100·cum ≥ q·n), no float thresholds. percentile_disc(q) =
+    smallest value whose cumulative count reaches q·n."""
+    from ..stages.shuffle import partial_groupby_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    hist = partial_groupby_sum(ds, ["lang", "n_chars"], [], count_as="n")
+
+    def quantiles(group: pa.Table) -> pa.Table:
+        vals = group.column("n_chars").to_numpy(zero_copy_only=False)
+        counts = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(vals, kind="stable")
+        vals, counts = vals[order], counts[order]
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+
+        def disc(q_pct: int) -> int:
+            idx = int(np.searchsorted(100 * cum, q_pct * total))
+            return int(vals[idx])
+
+        return pa.table(
+            {
+                "lang": group.column("lang").slice(0, 1),
+                "median_chars": pa.array([disc(50)], pa.int64()),
+                "p90_chars": pa.array([disc(90)], pa.int64()),
+                "n_docs": pa.array([total], pa.int64()),
+            }
+        )
+
+    return hist.groupby("lang").map_groups(quantiles, batch_format="pyarrow")
+
+
 def q_customers_per_region(sf_dir: str) -> ray.data.Dataset:
     """Two chained broadcast joins: customer ⋈ nation ⋈ region."""
     nations = {
@@ -1764,8 +1803,8 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "crossdoc_ngrams": q_crossdoc_ngrams,
     "tfidf_top_terms": q_tfidf_top_terms,
-    "deterministic_sample": q_deterministic_sample,
     "stratified_sample": q_stratified_sample,
+    "exact_quantiles": q_exact_quantiles,
     "top_longest": q_top_longest,
     "lineitem_rollup": q_lineitem_rollup,
     "customers_per_region": q_customers_per_region,
@@ -1810,9 +1849,12 @@ QUERIES = {
     # keeps a hash-green sibling inside the window; doc_signatures is
     # rows-only with its kernels unit-pinned (fingerprints★ is the
     # SQL-verified sibling), parked to keep jaccard_pairs_exact inside;
-    # symbol_stats (shape ≡ token_counts★) parked for customer_order_counts ---
+    # symbol_stats (shape ≡ token_counts★) parked for customer_order_counts;
+    # deterministic_sample (md5-contract subset of stratified_sample★)
+    # parked for exact_quantiles ---
     "doc_signatures": q_doc_signatures,
     "symbol_stats": q_symbol_stats,
+    "deterministic_sample": q_deterministic_sample,
     "orders_by_segment": q_orders_by_segment,
     "events_span": q_events_span,
     "events_rollup": q_events_rollup,

@@ -309,6 +309,16 @@ ORACLES: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
+    "exact_quantiles": """
+        SELECT lang,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS median_chars,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS p90_chars,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents
+        GROUP BY lang
+    """,
     "customer_order_counts": """
         SELECT c.c_custkey,
                c.c_mktsegment,

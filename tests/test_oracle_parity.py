@@ -38,6 +38,8 @@ QUERY_SLICE = [
     "bpe_token_counts",
     "vocab_top_tokens",
     "jaccard_pairs_exact",
+    "customer_order_counts",
+    "exact_quantiles",
 ]
 
 
