@@ -168,6 +168,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "crossdoc_ngrams": Q.q_crossdoc_ngrams,
         "tfidf_top_terms": Q.q_tfidf_top_terms,
         "decontaminate_ngram": Q.q_decontaminate_ngram,
+        "jaccard_pairs_exact": Q.q_jaccard_pairs_exact,
+        "customer_order_counts": Q.q_customer_order_counts,
+        "exact_quantiles": Q.q_exact_quantiles,
     }
     for name, fn in suite.items():
         best = float("inf")

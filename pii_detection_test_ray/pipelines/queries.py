@@ -813,6 +813,84 @@ def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def q_grouping_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Multi-level aggregate (SQL ``GROUP BY ROLLUP (lang, source)``):
+    (lang, source) cells + per-lang subtotals + a grand total, with NULL
+    group columns marking the coarser levels. Scale plan: ONE pass over
+    the corpus builds the finest-grain combiner aggregate; every coarser
+    level re-aggregates THAT (cells ≤ |langs|·|sources| rows — re-scanning
+    the corpus per level, which is what a naive rollup does, is never
+    needed). The union is three tiny datasets."""
+    from ..stages.shuffle import partial_groupby_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    fine = partial_groupby_sum(
+        ds, ["lang", "source"], ["n_chars"], count_as="n_docs"
+    )
+    fine = _rename(fine, {"n_chars": "total_chars"})
+    by_lang = partial_groupby_sum(fine, ["lang"], ["total_chars", "n_docs"])
+
+    def shape(with_source: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "lang": batch.column("lang"),
+                    "source": batch.column("source")
+                    if with_source
+                    else pa.nulls(batch.num_rows, pa.string()),
+                    "n_docs": pc.cast(batch.column("n_docs"), pa.int64()),
+                    "total_chars": pc.cast(
+                        batch.column("total_chars"), pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    def grand(batch: pa.Table) -> pa.Table:
+        # Per-batch partial of the (already tiny) per-lang level; the
+        # groupby below folds partials into the single grand-total row.
+        return pa.table(
+            {
+                "__k": pa.array([0] * min(1, batch.num_rows), pa.int32()),
+                "n_docs": pa.array(
+                    [pc.sum(batch.column("n_docs")).as_py() or 0][: batch.num_rows],
+                    pa.int64(),
+                ),
+                "total_chars": pa.array(
+                    [pc.sum(batch.column("total_chars")).as_py() or 0][
+                        : batch.num_rows
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    total = (
+        by_lang.map_batches(grand, batch_format="pyarrow")
+        .groupby("__k")
+        .aggregate(Sum("n_docs"), Sum("total_chars"))
+    )
+
+    def total_row(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": pa.nulls(batch.num_rows, pa.string()),
+                "source": pa.nulls(batch.num_rows, pa.string()),
+                "n_docs": pc.cast(batch.column("sum(n_docs)"), pa.int64()),
+                "total_chars": pc.cast(
+                    batch.column("sum(total_chars)"), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        fine.map_batches(shape(True), batch_format="pyarrow")
+        .union(by_lang.map_batches(shape(False), batch_format="pyarrow"))
+        .union(total.map_batches(total_row, batch_format="pyarrow"))
+    )
+
+
 def q_exact_quantiles(sf_dir: str) -> ray.data.Dataset:
     """EXACT per-group quantiles (percentile_disc semantics) via the
     bounded-domain histogram plan — the exact counterpart to the sketch
@@ -1855,6 +1933,8 @@ QUERIES = {
     "doc_signatures": q_doc_signatures,
     "symbol_stats": q_symbol_stats,
     "deterministic_sample": q_deterministic_sample,
+    # past-window but cross-engine-verified in pytest (test_oracle_parity)
+    "grouping_rollup": q_grouping_rollup,
     "orders_by_segment": q_orders_by_segment,
     "events_span": q_events_span,
     "events_rollup": q_events_rollup,

@@ -309,6 +309,13 @@ ORACLES: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
+    "grouping_rollup": """
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY ROLLUP (lang, source)
+    """,
     "exact_quantiles": """
         SELECT lang,
                CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)

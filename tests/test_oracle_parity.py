@@ -40,6 +40,7 @@ QUERY_SLICE = [
     "jaccard_pairs_exact",
     "customer_order_counts",
     "exact_quantiles",
+    "grouping_rollup",
 ]
 
 
