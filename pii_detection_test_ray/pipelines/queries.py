@@ -813,6 +813,25 @@ def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def q_boilerplate_lines(sf_dir: str) -> ray.data.Dataset:
+    """Cross-document boilerplate line removal (RefinedWeb across-docs
+    line dedup) over the synthetic web corpus — the driver's documents
+    table is single-line so the operator would be vacuous there; the
+    synthetic pages carry real nav/footer furniture in every page.
+    Rows-only (semantics pinned by the pure-Python oracle in
+    tests/test_boilerplate.py); returns only docs that lost lines, so
+    non-vacuity is visible in the row count."""
+    from ..stages.boilerplate import remove_boilerplate_lines
+
+    corpus = synthetic_corpus_dir()
+    ds = ray.data.read_parquet(f"{corpus}/documents", columns=["url", "text"])
+    out = remove_boilerplate_lines(ds, min_df=4)
+    return out.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n_removed"), pa.scalar(0))),
+        batch_format="pyarrow",
+    )
+
+
 def q_grouping_rollup(sf_dir: str) -> ray.data.Dataset:
     """Multi-level aggregate (SQL ``GROUP BY ROLLUP (lang, source)``):
     (lang, source) cells + per-lang subtotals + a grand total, with NULL
@@ -1935,6 +1954,8 @@ QUERIES = {
     "deterministic_sample": q_deterministic_sample,
     # past-window but cross-engine-verified in pytest (test_oracle_parity)
     "grouping_rollup": q_grouping_rollup,
+    # past-window, rows-only (pure-Python oracle in tests/test_boilerplate.py)
+    "boilerplate_lines": q_boilerplate_lines,
     "orders_by_segment": q_orders_by_segment,
     "events_span": q_events_span,
     "events_rollup": q_events_rollup,
