@@ -813,6 +813,62 @@ def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def q_events_value_stats(sf_dir: str) -> ray.data.Dataset:
+    """Distributed EXACT variance via integer moment partials: per
+    event_type the combiner carries only (n, Σcents, Σcents²) int64
+    partials — the classic mergeable moment sketch, but exact. The final
+    map computes var_pop with Python arbitrary-precision integers
+    (n·Σx² − (Σx)² exceeds int64 at ~10⁵ rows) and rounds to double only
+    once, exactly where DuckDB's HUGEINT→DOUBLE cast rounds — so even the
+    float columns hash-match. Mean/variance are cross-multiplied from the
+    published integer moments; no order-dependent float summation
+    anywhere."""
+    from ..stages.shuffle import partial_groupby_sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            _round(pc.multiply(batch.column("value"), 100.0), 0), pa.int64()
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": cents,
+                "cents_sq": pc.multiply(cents, cents),
+            }
+        )
+
+    agg = partial_groupby_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        ["cents", "cents_sq"],
+        count_as="n_events",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns = batch.column("n_events").to_pylist()
+        sums = batch.column("cents").to_pylist()
+        sqs = batch.column("cents_sq").to_pylist()
+        means = [float(s) / float(n) for s, n in zip(sums, ns)]
+        variances = [
+            float(n * ss - s * s) / (float(n) * float(n))
+            for n, s, ss in zip(ns, sums, sqs)
+        ]
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n_events": batch.column("n_events"),
+                "sum_cents": batch.column("cents"),
+                "sumsq_cents": batch.column("cents_sq"),
+                "mean_cents": pa.array(means, pa.float64()),
+                "var_pop_cents2": pa.array(variances, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_boilerplate_lines(sf_dir: str) -> ray.data.Dataset:
     """Cross-document boilerplate line removal (RefinedWeb across-docs
     line dedup) over the synthetic web corpus — the driver's documents
@@ -1954,6 +2010,7 @@ QUERIES = {
     "deterministic_sample": q_deterministic_sample,
     # past-window but cross-engine-verified in pytest (test_oracle_parity)
     "grouping_rollup": q_grouping_rollup,
+    "events_value_stats": q_events_value_stats,
     # past-window, rows-only (pure-Python oracle in tests/test_boilerplate.py)
     "boilerplate_lines": q_boilerplate_lines,
     "orders_by_segment": q_orders_by_segment,

@@ -309,6 +309,29 @@ ORACLES: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
+    # Exact distributed variance from integer moments. The HUGEINT casts
+    # mirror the engine's Python-bigint finals (n·Σx² − (Σx)² overflows
+    # int64); the single HUGEINT→DOUBLE rounding is the shared contract
+    # that makes the float columns hash-comparable.
+    "events_value_stats": """
+        WITH m AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                            * CAST(round(value * 100, 0) AS BIGINT))
+                        AS BIGINT) AS sumsq_cents
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT event_type, n_events, sum_cents, sumsq_cents,
+               CAST(sum_cents AS DOUBLE) / n_events AS mean_cents,
+               CAST(CAST(n_events AS HUGEINT) * sumsq_cents
+                    - CAST(sum_cents AS HUGEINT) * sum_cents AS DOUBLE)
+                 / (CAST(n_events AS DOUBLE) * n_events) AS var_pop_cents2
+        FROM m
+    """,
     "grouping_rollup": """
         SELECT lang, source,
                CAST(count(*) AS BIGINT) AS n_docs,

@@ -41,6 +41,7 @@ QUERY_SLICE = [
     "customer_order_counts",
     "exact_quantiles",
     "grouping_rollup",
+    "events_value_stats",
 ]
 
 
