@@ -813,6 +813,80 @@ def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def q_adaptive_quality_gate(sf_dir: str) -> ray.data.Dataset:
+    """Derived-threshold gate: keep documents at or above their OWN
+    language's median length — the adaptive per-stratum quality-gate
+    pattern (fixed thresholds misfire across languages; CCNet uses
+    per-lang perplexity quantiles the same way). Plan: the tiny exact
+    per-lang quantile table (bounded-domain histogram, see
+    ``q_exact_quantiles``) is computed first and broadcast via ``ray.put``;
+    the corpus pass is then a stateless vectorized filter — no join
+    exchange, because a per-group threshold table is always
+    group-cardinality-sized. Emits per-lang kept/total counts."""
+    from ..stages.shuffle import partial_groupby_sum
+
+    med = {
+        r["lang"]: r["median_chars"]
+        for r in q_exact_quantiles(sf_dir).take_all()
+    }
+    med_ref = ray.put(med)
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        langs = batch.column("lang").to_pylist()
+        thresh = np.array([m[l] for l in langs], dtype=np.int64)
+        n = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "kept": pa.array((n >= thresh).astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = partial_groupby_sum(
+        ds.map_batches(gate, batch_format="pyarrow"),
+        ["lang"],
+        ["kept"],
+        count_as="n_docs",
+    )
+    return _rename(agg, {"kept": "n_kept"})
+
+
+def q_exact_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """EXACT count-distinct per group — the design sibling of the HLL
+    sketch path (``approx_distinct_users``): two-level aggregation where
+    level 1 dedups (event_type, user_id) pairs with per-batch combining
+    (the exchange is bounded by distinct pairs × blocks, not event rows)
+    and level 2 counts survivors per type. Exact when you can afford the
+    pair exchange; the sketch when you cannot."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count())
+    )
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        pairs.map_batches(ones, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("one"))
+    )
+    return _rename(agg, {"sum(one)": "n_users"})
+
+
 def q_events_value_stats(sf_dir: str) -> ray.data.Dataset:
     """Distributed EXACT variance via integer moment partials: per
     event_type the combiner carries only (n, Σcents, Σcents²) int64
@@ -2011,6 +2085,8 @@ QUERIES = {
     # past-window but cross-engine-verified in pytest (test_oracle_parity)
     "grouping_rollup": q_grouping_rollup,
     "events_value_stats": q_events_value_stats,
+    "adaptive_quality_gate": q_adaptive_quality_gate,
+    "exact_distinct_users": q_exact_distinct_users,
     # past-window, rows-only (pure-Python oracle in tests/test_boilerplate.py)
     "boilerplate_lines": q_boilerplate_lines,
     "orders_by_segment": q_orders_by_segment,

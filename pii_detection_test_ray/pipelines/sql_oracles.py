@@ -309,6 +309,25 @@ ORACLES: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
+    "adaptive_quality_gate": """
+        WITH med AS (
+            SELECT lang,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS m
+            FROM documents GROUP BY lang
+        )
+        SELECT d.lang,
+               CAST(sum(CASE WHEN d.n_chars >= med.m THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d JOIN med ON med.lang = d.lang
+        GROUP BY d.lang
+    """,
+    "exact_distinct_users": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
     # Exact distributed variance from integer moments. The HUGEINT casts
     # mirror the engine's Python-bigint finals (n·Σx² − (Σx)² overflows
     # int64); the single HUGEINT→DOUBLE rounding is the shared contract

@@ -42,6 +42,8 @@ QUERY_SLICE = [
     "exact_quantiles",
     "grouping_rollup",
     "events_value_stats",
+    "adaptive_quality_gate",
+    "exact_distinct_users",
 ]
 
 
