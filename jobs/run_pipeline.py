@@ -34,6 +34,13 @@ def main() -> None:
              "(PipelineOptions.auto); >0 = fixed manual sizing",
     )
     parser.add_argument("--kept-only", action="store_true", help="write only keep=True rows")
+    parser.add_argument(
+        "--stages-json", default=None,
+        help="path to a JSON list of {'stage': name, **overrides} dicts; "
+             "when given, the pipeline is assembled from the stage registry "
+             "(pipelines/registry.py) instead of the built-in flagship — "
+             "pipelines are data, not code",
+    )
     args = parser.parse_args()
 
     import ray
@@ -67,9 +74,25 @@ def main() -> None:
             fuse_model_stages=True,
         )
 
-    def pipeline(files: list[str]):
-        ds = build_pipeline(files, opts)
-        return kept_corpus(ds) if args.kept_only else ds
+    if args.stages_json:
+        from pii_detection_test_ray.pipelines.registry import build_from_config
+
+        with open(args.stages_json) as f:
+            stage_config = json.load(f)
+
+        def pipeline(files: list[str]):
+            ds = build_from_config(
+                ray.data.read_parquet(files),
+                stage_config,
+                batch_size=args.batch_size,
+            )
+            return kept_corpus(ds) if args.kept_only else ds
+
+    else:
+
+        def pipeline(files: list[str]):
+            ds = build_pipeline(files, opts)
+            return kept_corpus(ds) if args.kept_only else ds
 
     if not os.path.isdir(args.input):
         sys.exit(f"error: --input {args.input!r} is not a directory")

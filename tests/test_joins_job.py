@@ -103,6 +103,43 @@ def test_job_entrypoint_runs_and_resumes(tmp_path):
     assert s2["skipped"] == s2["groups"] == s1["groups"]
 
 
+def test_job_entrypoint_stages_json(tmp_path):
+    """--stages-json assembles the pipeline from the registry in the job
+    CLI: a config-driven extract -> gate -> scrub run over raw pages."""
+    from pii_detection_test_ray.sources.corpus import CorpusConfig, write_corpus
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(corpus, CorpusConfig(n_docs=40), shards=2)
+    out = str(tmp_path / "out")
+    cfg = tmp_path / "stages.json"
+    cfg.write_text(json.dumps([
+        {"stage": "extract"},
+        {"stage": "drop_html"},
+        {"stage": "models", "concurrency": [1, 1]},
+        {"stage": "quality_features"},
+        {"stage": "gate", "quality": {"min_chars": 10}},
+        {"stage": "pii_scrub"},
+    ]))
+    cmd = [
+        sys.executable, os.path.join(REPO, "jobs", "run_pipeline.py"),
+        "--input", f"{corpus}/documents", "--output", out,
+        "--group-size", "2", "--batch-size", "64",
+        "--stages-json", str(cfg),
+    ]
+    env = dict(os.environ, RAY_ADDRESS="local")
+    run = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=420)
+    assert run.returncode == 0, run.stderr[-2000:]
+    s = json.loads(run.stdout.strip().splitlines()[-1])
+    assert s["rows_in"] == 40 and s["rows_out"] == 40 and "kept" in s
+
+    import glob
+
+    import pyarrow.parquet as pq
+    part = sorted(glob.glob(out + "/part-*"))[0]
+    t = pq.read_table(part)
+    assert {"keep", "scrubbed_text", "n_pii_spans"} <= set(t.column_names)
+
+
 def test_bucketed_semi_anti_join_match_broadcast(ray_session):
     """Distributed (bucketed) semi/anti joins produce exactly the broadcast
     variants' row sets — with the key side kept as a Dataset throughout."""
