@@ -813,6 +813,71 @@ def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def q_running_user_totals(sf_dir: str) -> ray.data.Dataset:
+    """Cumulative window aggregate: each event with its user's running
+    spend so far — ``SUM(cents) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id ROWS UNBOUNDED PRECEDING)``. One task per user hash bucket,
+    one lexsort + one np.cumsum per bucket (stages/windows.running_totals);
+    deterministic under any partitioning via the (ts, event_id) tiebreak.
+    Money in cents so the running sums are integer-exact on both engines."""
+    from ..stages.windows import running_totals
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            _round(pc.multiply(batch.column("value"), 100.0), 0), pa.int64()
+        )
+        return batch.drop_columns(["value"]).append_column("cents", cents)
+
+    return running_totals(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id",
+        ts_col="ts",
+        val_col="cents",
+        id_col="event_id",
+    )
+
+
+def q_json_props_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured extraction: parse the JSON ``props`` column and
+    roll up the embedded integer per event_type — the web-data pattern of
+    typed fields inside a JSON string column. Stateless parse inside
+    map_batches (one combiner partial per batch), DuckDB json_extract
+    oracle."""
+    import json as _json
+
+    from ..stages.shuffle import partial_groupby_sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = []
+        has = []
+        for p in batch.column("props").to_pylist():
+            try:
+                v = _json.loads(p) if p else {}
+                k = v.get("k")
+            except (ValueError, TypeError):
+                k = None
+            ks.append(int(k) if k is not None else 0)
+            has.append(1 if k is not None else 0)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "sum_k": pa.array(ks, pa.int64()),
+                "n_with_k": pa.array(has, pa.int64()),
+            }
+        )
+
+    return partial_groupby_sum(
+        ds.map_batches(parse, batch_format="pyarrow"),
+        ["event_type"],
+        ["sum_k", "n_with_k"],
+        count_as="n_events",
+    )
+
+
 def q_adaptive_quality_gate(sf_dir: str) -> ray.data.Dataset:
     """Derived-threshold gate: keep documents at or above their OWN
     language's median length — the adaptive per-stratum quality-gate
@@ -2087,6 +2152,8 @@ QUERIES = {
     "events_value_stats": q_events_value_stats,
     "adaptive_quality_gate": q_adaptive_quality_gate,
     "exact_distinct_users": q_exact_distinct_users,
+    "running_user_totals": q_running_user_totals,
+    "json_props_rollup": q_json_props_rollup,
     # past-window, rows-only (pure-Python oracle in tests/test_boilerplate.py)
     "boilerplate_lines": q_boilerplate_lines,
     "orders_by_segment": q_orders_by_segment,

@@ -309,6 +309,24 @@ ORACLES: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
+    "running_user_totals": """
+        SELECT event_id, user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_cents
+        FROM events
+    """,
+    "json_props_rollup": """
+        SELECT event_type,
+               CAST(sum(coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0))
+                    AS BIGINT) AS sum_k,
+               CAST(sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
     "adaptive_quality_gate": """
         WITH med AS (
             SELECT lang,

@@ -195,3 +195,64 @@ def top_k_per_group(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def running_totals(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Per-key cumulative running sum ordered by (ts, id) — the window
+    aggregate ``SUM(val) OVER (PARTITION BY key ORDER BY ts, id ROWS
+    UNBOUNDED PRECEDING)``. Emits one row per input row
+    (id, key, cum_<val>).
+
+    Same physical shape as ``sessionize``: one task per hash bucket of the
+    key, keys factorize, ONE lexsort orders every key's rows at once, and
+    the per-key cumulative sum is a whole-bucket ``np.cumsum`` minus each
+    run's starting offset — no per-key Python. Partitioning assumption
+    (documented like the siblings): one bucket's rows fit one reducer."""
+    from .asof import _num_buckets_for
+    from ..functions.hashing import bucket_ids
+
+    num_buckets = _num_buckets_for(ds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_ids(batch.column(key_col), num_buckets)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    out_val = f"cum_{val_col}"
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        ts = (
+            pc.cast(pc.cast(group.column(ts_col), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        vals = group.column(val_col).to_numpy(zero_copy_only=False)
+        _, code = np.unique(keys, return_inverse=True)
+        order = np.lexsort((ids, ts, code))
+        c_s = code[order]
+        v_s = vals[order]
+        cs = np.cumsum(v_s)
+        starts = np.r_[True, c_s[1:] != c_s[:-1]]
+        run_start = np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+        offset = cs[run_start] - v_s[run_start]
+        take = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                id_col: group.column(id_col).take(take),
+                key_col: group.column(key_col).take(take),
+                out_val: pa.array(cs - offset, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -44,6 +44,8 @@ QUERY_SLICE = [
     "events_value_stats",
     "adaptive_quality_gate",
     "exact_distinct_users",
+    "running_user_totals",
+    "json_props_rollup",
 ]
 
 
