@@ -1008,6 +1008,23 @@ def q_events_value_stats(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_curate_corpus(sf_dir: str) -> ray.data.Dataset:
+    """The composed end-to-end curation chain (pipelines/curate.py):
+    quality filter + scrub → cross-doc boilerplate strip → exact dedup →
+    MinHash near-dedup, over the synthetic web corpus. Rows-only; the
+    phases are individually oracle-paired/pytest-pinned, and
+    tests/test_curate.py pins the composition (planted dups dropped,
+    checkpointed and direct paths agree)."""
+    import glob as _glob
+
+    from .curate import curate_corpus
+
+    corpus = synthetic_corpus_dir()
+    files = sorted(_glob.glob(f"{corpus}/documents/*.parquet"))
+    out = curate_corpus(files)
+    return out.select_columns(["url", "n_boiler_removed"])
+
+
 def q_boilerplate_lines(sf_dir: str) -> ray.data.Dataset:
     """Cross-document boilerplate line removal (RefinedWeb across-docs
     line dedup) over the synthetic web corpus — the driver's documents
@@ -2156,6 +2173,8 @@ QUERIES = {
     "json_props_rollup": q_json_props_rollup,
     # past-window, rows-only (pure-Python oracle in tests/test_boilerplate.py)
     "boilerplate_lines": q_boilerplate_lines,
+    # past-window, rows-only (composition pinned by tests/test_curate.py)
+    "curate_corpus": q_curate_corpus,
     "orders_by_segment": q_orders_by_segment,
     "events_span": q_events_span,
     "events_rollup": q_events_rollup,
