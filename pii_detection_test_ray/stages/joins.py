@@ -158,16 +158,20 @@ def broadcast_hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     key: str,
+    join_type: str = "inner",
 ) -> ray.data.Dataset:
-    """Inner join where the (dim-sized) right side is collected once and
-    shipped via ``ray.put``. Handles duplicate right keys (row fan-out) and
-    preserves declared column types. Use only when the right side is known
-    small — ``hash_join`` routes here below the broadcast threshold."""
-    if left.schema() is None:  # schema-less ⇒ no probe rows ⇒ inner join ∅
+    """Join (``inner`` or ``left outer``) where the (dim-sized) right side
+    is collected once and shipped via ``ray.put``. Handles duplicate right
+    keys (row fan-out) and preserves declared column types. Use only when
+    the right side is known small — ``hash_join`` routes here below the
+    broadcast threshold."""
+    if join_type not in ("inner", "left outer"):
+        raise ValueError(f"unsupported join_type: {join_type!r}")
+    if left.schema() is None:  # schema-less ⇒ no probe rows ⇒ join ∅
         return left
     r_schema = right.schema()
-    if r_schema is None:  # schema-less ⇒ no build rows ⇒ inner join ∅
-        return left.limit(0)
+    if r_schema is None:  # schema-less build side: inner ⇒ ∅; outer ⇒ left
+        return left if join_type == "left outer" else left.limit(0)
     right_cols = [c for c in r_schema.names if c != key]
     overlap = (set(left.schema().names) & set(r_schema.names)) - {key}
     if overlap:
@@ -188,7 +192,7 @@ def broadcast_hash_join(
 
     def join_batch(batch: pa.Table) -> pa.Table:
         build = ray.get(ref)
-        joined = batch.join(build, keys=key, join_type="inner")
+        joined = batch.join(build, keys=key, join_type=join_type)
         # Table.join output column order is not guaranteed; restore
         # left ∪ right.
         return joined.select(list(batch.column_names) + right_cols)
@@ -202,15 +206,19 @@ def hash_join(
     key: str,
     num_buckets: int | None = None,
     broadcast_threshold: int = _BROADCAST_THRESHOLD_BYTES,
+    join_type: str = "inner",
 ) -> ray.data.Dataset:
-    """Inner join with automatic strategy choice: broadcast the right side
-    when its datasource files are under ``broadcast_threshold`` (zero
-    shuffle), else the bucketed Arrow hash join (both sides distributed).
-    Semantics are identical either way; only the exchange plan differs."""
+    """Join (``inner`` or ``left outer``) with automatic strategy choice:
+    broadcast the right side when its datasource files are under
+    ``broadcast_threshold`` (zero shuffle), else the bucketed Arrow hash
+    join (both sides distributed). Semantics are identical either way;
+    only the exchange plan differs."""
     rb = _input_bytes(right)
     if rb is not None and rb < broadcast_threshold:
-        return broadcast_hash_join(left, right, key)
-    return bucketed_hash_join(left, right, key, num_buckets=num_buckets)
+        return broadcast_hash_join(left, right, key, join_type=join_type)
+    return bucketed_hash_join(
+        left, right, key, num_buckets=num_buckets, join_type=join_type
+    )
 
 
 def _bucketed_membership_join(

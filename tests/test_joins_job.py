@@ -55,6 +55,29 @@ def test_bucketed_left_outer_join(ray_session):
     assert got == expected  # every left row survives; unmatched carry nulls
 
 
+def test_broadcast_left_outer_matches_bucketed(ray_session):
+    from pii_detection_test_ray.stages.joins import (
+        broadcast_hash_join,
+        bucketed_hash_join,
+    )
+
+    left_rows = [{"k": i % 6, "lv": i} for i in range(30)]
+    right_rows = [{"k": k, "rv": f"r{k}"} for k in (0, 2, 4)]
+    l = ray.data.from_items(left_rows, override_num_blocks=2)
+    r = ray.data.from_items(right_rows, override_num_blocks=1)
+    a = sorted(
+        (x["k"], x["lv"], x["rv"])
+        for x in broadcast_hash_join(l, r, "k", join_type="left outer").take_all()
+    )
+    b = sorted(
+        (x["k"], x["lv"], x["rv"])
+        for x in bucketed_hash_join(
+            l, r, "k", num_buckets=4, join_type="left outer"
+        ).take_all()
+    )
+    assert a == b and len(a) == 30  # outer: every left row present
+
+
 def test_bucketed_hash_join_rejects_collision(ray_session):
     from pii_detection_test_ray.stages.joins import bucketed_hash_join
 
