@@ -309,6 +309,14 @@ ORACLES: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
+    # The oracle is the O(n²) fuzzy self-join the engine's deletion-
+    # neighborhood blocking avoids; levenshtein returns INT32 → cast.
+    "fuzzy_supplier_pairs": """
+        SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+               CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS lev
+        FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
     "running_user_totals": """
         SELECT event_id, user_id,
                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (

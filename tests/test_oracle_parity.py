@@ -46,6 +46,7 @@ QUERY_SLICE = [
     "exact_distinct_users",
     "running_user_totals",
     "json_props_rollup",
+    "fuzzy_supplier_pairs",
 ]
 
 
