@@ -813,6 +813,97 @@ def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def q_sources_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """Ordered string aggregation (collect_set + sorted string_agg): per
+    lang, the comma-joined sorted distinct sources. Per-batch distinct
+    (lang, source) combiner partials bound the exchange at distinct pairs
+    × blocks; the final per-group join is over the (small) distinct set.
+    Determinism comes from the explicit ORDER BY inside the aggregate on
+    both engines — unordered string_agg would be partition-order luck."""
+    from ..stages.shuffle import partial_groupby_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    pairs = partial_groupby_sum(ds, ["lang", "source"], [], count_as="n")
+
+    def join_group(group: pa.Table) -> pa.Table:
+        sources = sorted(set(group.column("source").to_pylist()))
+        return pa.table(
+            {
+                "lang": group.column("lang").slice(0, 1),
+                "sources": pa.array([",".join(sources)], pa.string()),
+                "n_sources": pa.array([len(sources)], pa.int64()),
+            }
+        )
+
+    return pairs.groupby("lang").map_groups(join_group, batch_format="pyarrow")
+
+
+def q_orders_monthly_dense(sf_dir: str) -> ray.data.Dataset:
+    """Time-series gap filling: one row per calendar month between the
+    corpus-wide min and max order months, zero-filled where no orders
+    fell — the dense-dimension LEFT OUTER join shape (reports and
+    training-data time splits need dense axes). The month dimension is
+    generated driver-side from a two-number aggregate (min/max month —
+    never the rows), the per-month aggregate is a combiner groupby, and
+    the join is the adaptive left outer with the generated dimension as
+    the probe side."""
+    from ray.data.aggregate import Max, Min as AggMin
+
+    from ..stages.joins import bucketed_hash_join
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        y = pc.year(d)
+        m = pc.month(d)
+        month_idx = pc.add(pc.multiply(pc.cast(y, pa.int64()), 12),
+                           pc.cast(pc.subtract(m, 1), pa.int64()))
+        cents = pc.cast(
+            _round(pc.multiply(batch.column("o_totalprice"), 100.0), 0),
+            pa.int64(),
+        )
+        return pa.table({"month_idx": month_idx, "cents": cents})
+
+    from ..stages.shuffle import partial_groupby_sum
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    agg = partial_groupby_sum(prepped, ["month_idx"], ["cents"], count_as="n_orders")
+    bounds = prepped.aggregate(AggMin("month_idx"), Max("month_idx"))
+    lo, hi = bounds["min(month_idx)"], bounds["max(month_idx)"]
+    months = ray.data.from_items(
+        [{"month_idx": int(mi)} for mi in range(lo, hi + 1)],
+        override_num_blocks=4,
+    )
+    joined = bucketed_hash_join(
+        months, agg, "month_idx", num_buckets=4, join_type="left outer"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mi = batch.column("month_idx")
+        year = pc.divide(mi, 12)  # integer division on int64
+        rem = pc.subtract(mi, pc.multiply(year, 12))
+        return pa.table(
+            {
+                "ym": pc.binary_join_element_wise(
+                    pc.cast(year, pa.string()),
+                    pc.utf8_lpad(
+                        pc.cast(pc.add(rem, 1), pa.string()), 2, "0"
+                    ),
+                    "-",
+                ),
+                "n_orders": pc.fill_null(
+                    pc.cast(batch.column("n_orders"), pa.int64()), 0
+                ),
+                "total_cents": pc.fill_null(
+                    pc.cast(batch.column("cents"), pa.int64()), 0
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_fuzzy_supplier_pairs(sf_dir: str) -> ray.data.Dataset:
     """Entity-resolution shape: supplier-name pairs within edit distance 1,
     via FastSS/SymSpell deletion-neighborhood blocking (one groupby with
@@ -2187,6 +2278,8 @@ QUERIES = {
     "running_user_totals": q_running_user_totals,
     "json_props_rollup": q_json_props_rollup,
     "fuzzy_supplier_pairs": q_fuzzy_supplier_pairs,
+    "sources_per_lang": q_sources_per_lang,
+    "orders_monthly_dense": q_orders_monthly_dense,
     # past-window, rows-only (pure-Python oracle in tests/test_boilerplate.py)
     "boilerplate_lines": q_boilerplate_lines,
     # past-window, rows-only (composition pinned by tests/test_curate.py)

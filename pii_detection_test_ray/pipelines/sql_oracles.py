@@ -309,6 +309,38 @@ ORACLES: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
+    "sources_per_lang": """
+        SELECT lang,
+               string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents
+        GROUP BY lang
+    """,
+    "orders_monthly_dense": """
+        WITH m AS (
+            SELECT CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1)
+                        AS BIGINT) AS month_idx,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+            FROM orders
+        ),
+        agg AS (
+            SELECT month_idx,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM m GROUP BY month_idx
+        ),
+        months AS (
+            SELECT unnest(range((SELECT min(month_idx) FROM m),
+                                (SELECT max(month_idx) FROM m) + 1))
+                   AS month_idx
+        )
+        SELECT CAST(months.month_idx // 12 AS VARCHAR) || '-'
+                 || lpad(CAST(months.month_idx % 12 + 1 AS VARCHAR), 2, '0')
+               AS ym,
+               coalesce(agg.n_orders, 0) AS n_orders,
+               coalesce(agg.total_cents, 0) AS total_cents
+        FROM months LEFT JOIN agg USING (month_idx)
+    """,
     # The oracle is the O(n²) fuzzy self-join the engine's deletion-
     # neighborhood blocking avoids; levenshtein returns INT32 → cast.
     "fuzzy_supplier_pairs": """

@@ -47,6 +47,8 @@ QUERY_SLICE = [
     "running_user_totals",
     "json_props_rollup",
     "fuzzy_supplier_pairs",
+    "sources_per_lang",
+    "orders_monthly_dense",
 ]
 
 
