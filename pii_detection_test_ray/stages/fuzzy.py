@@ -32,16 +32,22 @@ from .dedup import _coarse_bucketed_pairs, _first_per_pair
 
 
 def levenshtein(a: str, b: str) -> int:
-    """Unit-cost edit distance, identical to DuckDB's ``levenshtein``
-    (classic Wagner–Fischer; no transposition credit)."""
-    if a == b:
+    """Unit-cost edit distance over UTF-8 BYTES, identical to DuckDB's
+    ``levenshtein`` (which is byte-level — 'é' vs '' is distance 2;
+    hypothesis-pinned in tests/test_properties.py). Classic
+    Wagner–Fischer, no transposition credit. Byte- and codepoint-level
+    agree on ASCII; the deletion-neighborhood blocking above remains
+    complete for byte distance ≤ 1 (a one-byte edit alters at most one
+    codepoint)."""
+    ab, bb = a.encode("utf-8"), b.encode("utf-8")
+    if ab == bb:
         return 0
-    if len(a) < len(b):
-        a, b = b, a
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
+    if len(ab) < len(bb):
+        ab, bb = bb, ab
+    prev = list(range(len(bb) + 1))
+    for i, ca in enumerate(ab, 1):
         cur = [i]
-        for j, cb in enumerate(b, 1):
+        for j, cb in enumerate(bb, 1):
             cur.append(
                 min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
             )

@@ -189,3 +189,33 @@ def test_fuzz_dedup_lines_equals_duckdb(t):
     assert got == (sql[0], sql[1])
     # idempotence: a second pass removes nothing
     assert dedup_lines(got[0]) == (got[0], 0)
+
+
+@SMALL
+@given(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), max_codepoint=0x2FFF
+        ),
+        max_size=24,
+    ),
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), max_codepoint=0x2FFF
+        ),
+        max_size=24,
+    ),
+)
+def test_levenshtein_matches_duckdb(a, b):
+    """The engine's DP edit distance must agree with DuckDB's levenshtein
+    on arbitrary unicode — the contract the fuzzy_supplier_pairs oracle
+    pairing rests on. (NUL is excluded: DuckDB VARCHARs cannot carry it.)"""
+    duckdb = pytest.importorskip("duckdb")
+
+    from pii_detection_test_ray.stages.fuzzy import levenshtein
+
+    a = a.replace("\x00", "")
+    b = b.replace("\x00", "")
+    con = duckdb.connect()
+    got = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+    assert levenshtein(a, b) == got
