@@ -813,6 +813,51 @@ def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def q_quantiles_cont(sf_dir: str) -> ray.data.Dataset:
+    """Interpolated quantiles (percentile_cont semantics) from the same
+    bounded-domain histogram plan as ``q_exact_quantiles``: rank
+    r = q·(n−1) over the expanded sorted multiset, result =
+    v⌊r⌋ + (v⌈r⌉ − v⌊r⌋)·frac — computed in double with exactly DuckDB's
+    expression shape so even the interpolated floats hash-match. The
+    histogram exchange is still groups × distinct values, never rows."""
+    from ..stages.shuffle import partial_groupby_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    hist = partial_groupby_sum(ds, ["lang", "n_chars"], [], count_as="n")
+
+    def quantiles(group: pa.Table) -> pa.Table:
+        vals = group.column("n_chars").to_numpy(zero_copy_only=False)
+        counts = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(vals, kind="stable")
+        vals, counts = vals[order], counts[order]
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+
+        def value_at(idx: int) -> float:
+            # idx is 0-based position in the expanded sorted multiset
+            return float(vals[int(np.searchsorted(cum, idx, side="right"))])
+
+        def cont(q: float) -> float:
+            r = q * (total - 1)
+            lo = int(np.floor(r))
+            hi = int(np.ceil(r))
+            vlo = value_at(lo)
+            if hi == lo:
+                return vlo
+            return vlo + (value_at(hi) - vlo) * (r - lo)
+
+        return pa.table(
+            {
+                "lang": group.column("lang").slice(0, 1),
+                "median_cont": pa.array([cont(0.5)], pa.float64()),
+                "p75_cont": pa.array([cont(0.75)], pa.float64()),
+                "n_docs": pa.array([total], pa.int64()),
+            }
+        )
+
+    return hist.groupby("lang").map_groups(quantiles, batch_format="pyarrow")
+
+
 def q_sources_per_lang(sf_dir: str) -> ray.data.Dataset:
     """Ordered string aggregation (collect_set + sorted string_agg): per
     lang, the comma-joined sorted distinct sources. Per-batch distinct
@@ -2280,6 +2325,7 @@ QUERIES = {
     "fuzzy_supplier_pairs": q_fuzzy_supplier_pairs,
     "sources_per_lang": q_sources_per_lang,
     "orders_monthly_dense": q_orders_monthly_dense,
+    "quantiles_cont": q_quantiles_cont,
     # past-window, rows-only (pure-Python oracle in tests/test_boilerplate.py)
     "boilerplate_lines": q_boilerplate_lines,
     # past-window, rows-only (composition pinned by tests/test_curate.py)

@@ -309,6 +309,16 @@ ORACLES: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
+    "quantiles_cont": """
+        SELECT lang,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars)
+                   AS median_cont,
+               percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars)
+                   AS p75_cont,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents
+        GROUP BY lang
+    """,
     "sources_per_lang": """
         SELECT lang,
                string_agg(DISTINCT source, ',' ORDER BY source) AS sources,

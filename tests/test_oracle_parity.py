@@ -49,6 +49,7 @@ QUERY_SLICE = [
     "fuzzy_supplier_pairs",
     "sources_per_lang",
     "orders_monthly_dense",
+    "quantiles_cont",
 ]
 
 
