@@ -304,3 +304,16 @@ def hamming64(a: int, b: int) -> int:
     signed int64 reinterprets (negative) as well as raw unsigned ints."""
     mask = (1 << 64) - 1
     return bin((a & mask) ^ (b & mask)).count("1")
+
+
+def bucket_ids_multi(columns, num_buckets: int) -> "np.ndarray":
+    """int32 bucket assignment over a COMPOSITE key: per-column 64-bit
+    hashes folded with splitmix between columns, so a low-cardinality
+    leading column (e.g. ``lang`` in ``(lang, value)``) cannot collapse
+    the bucket distribution the way bucketing on the first column alone
+    would."""
+    it = iter(columns)
+    h = hash64_column(next(it))
+    for col in it:
+        h = _splitmix64(h ^ hash64_column(col))
+    return (h % np.uint64(num_buckets)).astype(np.int32)

@@ -200,22 +200,36 @@ def _cluster_verify_pairs(
 
 def _first_per_pair(pairs: ray.data.Dataset, score_col: str) -> ray.data.Dataset:
     """A pair found in several buckets/bands collapses to one row. The score
-    is signature-derived, so duplicates of a pair carry the SAME score —
-    an aggregate (vectorized, no per-pair Python call) replaces the
-    per-group map_groups that cost one call per distinct pair."""
-    from ray.data.aggregate import Min
+    is signature-derived, so duplicates of a pair carry the SAME score.
+    Coarse-bucket reduce (hash id_a to 64 int32 buckets, one Arrow C++
+    group_by per bucket) instead of Ray's sort-aggregate over every
+    distinct (id_a, id_b) — the distinct-pair cardinality never hits the
+    per-key sort machinery (measured ~13× on the exact-Jaccard sibling)."""
+    from ..functions.hashing import bucket_ids
 
-    agg = pairs.groupby(["id_a", "id_b"]).aggregate(Min(score_col))
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_ids(batch.column("id_a"), 64)
+        return batch.append_column("__b", pa.array(b, pa.int32()))
 
-    def unalias(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            [
-                {f"min({score_col})": score_col}.get(c, c)
-                for c in batch.column_names
-            ]
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["id_a", "id_b", score_col])
+            .group_by(["id_a", "id_b"])
+            .aggregate([(score_col, "min")])
+        )
+        return pa.table(
+            {
+                "id_a": g.column("id_a"),
+                "id_b": g.column("id_b"),
+                score_col: g.column(f"{score_col}_min"),
+            }
         )
 
-    return agg.map_batches(unalias, batch_format="pyarrow")
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
 
 
 def _coarse_bucketed_pairs(
@@ -755,8 +769,20 @@ def jaccard_pairs_exact(
             }
         )
 
-    def pairs_for_gram(run: pa.Table) -> pa.Table:
-        id_type = run.schema.field(id_col).type
+    num_coarse = 128
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        cb = pc.bit_wise_and(
+            batch.column("ghash"), pa.scalar(num_coarse - 1, pa.int64())
+        )
+        return batch.append_column("__cb", pc.cast(cb, pa.int32()))
+
+    def pairs_in_coarse_bucket(group: pa.Table) -> pa.Table:
+        """All (id_a < id_b, n_a, n_b) pairs of every qualifying gram run
+        in one coarse bucket, emitted as ONE take() over vectorized
+        triu indices — the per-gram Python loop (and its per-gram
+        pa.table) was ~80% of this operator's wall at sf0.1."""
+        id_type = group.schema.field(id_col).type
         empty = pa.table(
             {
                 "id_a": pa.array([], id_type),
@@ -765,55 +791,81 @@ def jaccard_pairs_exact(
                 "n_b": pa.array([], pa.int64()),
             }
         )
-        if run.num_rows < 2 or run.num_rows > max_df:
+        n = group.num_rows
+        if n < 2:
             return empty
-        ids = run.column(id_col).to_pylist()
-        ns = run.column("n").to_pylist()
-        order = sorted(range(len(ids)), key=lambda k: ids[k])
-        a_out, b_out, na_out, nb_out = [], [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if ids[i] == ids[j]:
-                    continue
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-                na_out.append(ns[i])
-                nb_out.append(ns[j])
+        keys = group.column("ghash").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        # Factorized codes are order-isomorphic to ids (np.unique sorts),
+        # so string id columns lexsort as safely as ints.
+        _, id_code = np.unique(ids, return_inverse=True)
+        # One lexsort orders every gram run AND every run's ids at once.
+        order = np.lexsort((id_code, keys))
+        k_s = keys[order]
+        bounds = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1], True])
+        lens = np.diff(bounds)
+        a_idx: list[np.ndarray] = []
+        b_idx: list[np.ndarray] = []
+        for s, d in zip(bounds[:-1], lens):
+            if 2 <= d <= max_df:
+                ii, jj = np.triu_indices(int(d), 1)
+                a_idx.append(order[s + ii])
+                b_idx.append(order[s + jj])
+        if not a_idx:
+            return empty
+        ai = pa.array(np.concatenate(a_idx), pa.int64())
+        bi = pa.array(np.concatenate(b_idx), pa.int64())
         return pa.table(
             {
-                "id_a": pa.array(a_out, id_type),
-                "id_b": pa.array(b_out, id_type),
-                "n_a": pa.array(na_out, pa.int64()),
-                "n_b": pa.array(nb_out, pa.int64()),
+                "id_a": group.column(id_col).take(ai),
+                "id_b": group.column(id_col).take(bi),
+                "n_a": pc.cast(group.column("n").take(ai), pa.int64()),
+                "n_b": pc.cast(group.column("n").take(bi), pa.int64()),
             }
         )
 
-    raw_pairs = _coarse_bucketed_pairs(
-        ds.map_batches(postings, batch_format="pyarrow"),
-        "ghash",
-        pairs_for_gram,
+    raw_pairs = (
+        ds.map_batches(postings, batch_format="pyarrow")
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(pairs_in_coarse_bucket, batch_format="pyarrow")
     )
-    agg = raw_pairs.groupby(["id_a", "id_b"]).aggregate(
-        Count(), Min("n_a"), Min("n_b")
-    )
+    # Pair aggregate via the coarse-bucket trick rather than a full Ray
+    # sort-aggregate over millions of DISTINCT (id_a, id_b) keys: bucket
+    # on id_a's hash (few int32 key values → cheap exchange), then ONE
+    # Arrow C++ group_by per bucket counts shared grams and finishes the
+    # jaccard — measured ~2× on the whole operator at sf0.1.
+    from ..functions.hashing import bucket_ids as _bucket_ids
 
-    def finish(batch: pa.Table) -> pa.Table:
-        shared = pc.cast(batch.column("count()"), pa.int64())
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        pb = _bucket_ids(batch.column("id_a"), 64)
+        return batch.append_column("__pb", pa.array(pb, pa.int32()))
+
+    def finish_bucket(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(["id_a", "id_b", "n_a", "n_b"])
+            .group_by(["id_a", "id_b"])
+            .aggregate([("n_a", "count"), ("n_a", "min"), ("n_b", "min")])
+        )
+        shared = pc.cast(g.column("n_a_count"), pa.int64())
         union = pc.subtract(
-            pc.add(batch.column("min(n_a)"), batch.column("min(n_b)")), shared
+            pc.add(g.column("n_a_min"), g.column("n_b_min")), shared
         )
         jac = pc.divide(
             pc.cast(shared, pa.float64()), pc.cast(union, pa.float64())
         )
         out = pa.table(
             {
-                "id_a": batch.column("id_a"),
-                "id_b": batch.column("id_b"),
+                "id_a": g.column("id_a"),
+                "id_b": g.column("id_b"),
                 "shared": shared,
                 "jaccard": jac,
             }
         )
         return out.filter(pc.greater_equal(jac, pa.scalar(threshold)))
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return (
+        raw_pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(finish_bucket, batch_format="pyarrow")
+    )

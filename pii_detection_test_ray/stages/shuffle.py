@@ -62,22 +62,39 @@ def partial_groupby_sum(
         return pa.table(arrays)
 
     partials = ds.map_batches(combine, batch_format="pyarrow")
-    aggs = [Sum(c) for c in sum_cols]
-    if count_as:
-        aggs.append(Sum(count_as))
-    agg = partials.groupby(key_cols if len(key_cols) > 1 else key_cols[0]).aggregate(
-        *aggs
-    )
+    # Final reduce via the coarse-bucket pattern instead of Ray's
+    # sort-aggregate: bucketing the composite key down to ``num_buckets``
+    # int32 values makes the exchange a cheap small-key sort, and ONE
+    # Arrow C++ group_by per bucket folds the partials. Measured ~13× on
+    # the pair aggregate this pattern was lifted from; distinct-key
+    # cardinality never hits Ray's per-key sort machinery.
+    from ..functions.hashing import bucket_ids_multi
 
-    def unalias(batch: pa.Table) -> pa.Table:
-        renames = {f"sum({c})": c for c in sum_cols}
-        if count_as:
-            renames[f"sum({count_as})"] = count_as
-        return batch.rename_columns(
-            [renames.get(c, c) for c in batch.column_names]
+    all_sums = sum_cols + ([count_as] if count_as else [])
+    num_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_ids_multi(
+            [batch.column(k) for k in key_cols], num_buckets
         )
+        return batch.append_column("__b", pa.array(b, pa.int32()))
 
-    return agg.map_batches(unalias, batch_format="pyarrow")
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(key_cols + all_sums)
+            .group_by(key_cols)
+            .aggregate([(c, "sum") for c in all_sums])
+        )
+        arrays = {k: g.column(k) for k in key_cols}
+        for c in all_sums:
+            arrays[c] = g.column(f"{c}_sum").cast(pa.int64())
+        return pa.table(arrays)
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
 
 
 def salted_keep_min(
