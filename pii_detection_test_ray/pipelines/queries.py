@@ -359,23 +359,13 @@ def q_tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
 
     pairs = ds.map_batches(tf_pairs, batch_format="pyarrow")
 
-    def df_partials(batch: pa.Table) -> pa.Table:
-        terms, counts = np.unique(
-            batch.column("term").to_numpy(zero_copy_only=False), return_counts=True
-        )
-        return pa.table(
-            {
-                "term": pa.array(terms, pa.string()),
-                "n": pa.array(counts, pa.int64()),
-            }
-        )
+    # df via the combiner + coarse-bucket reduce (partial_groupby_sum):
+    # pairs are distinct per (doc, term), so a row count per term IS the
+    # document frequency; the vocabulary-sized key set never hits Ray's
+    # per-key sort-aggregate.
+    from ..stages.shuffle import partial_groupby_sum as _pgs
 
-    df = _rename(
-        pairs.map_batches(df_partials, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("n")),
-        {"sum(n)": "df"},
-    )
+    df = _rename(_pgs(pairs, ["term"], [], count_as="n"), {"n": "df"})
 
     scored = bucketed_hash_join(pairs, df, "term").map_batches(
         lambda t: t.append_column(
@@ -439,12 +429,12 @@ def q_crossdoc_ngrams(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    agg = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("gram")
-        .aggregate(Sum("n"))
+    from ..stages.shuffle import partial_groupby_sum as _pgs
+
+    agg = _pgs(
+        ds.map_batches(partials, batch_format="pyarrow"), ["gram"], ["n"]
     )
-    shared = _rename(agg, {"sum(n)": "n_docs"}).map_batches(
+    shared = _rename(agg, {"n": "n_docs"}).map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("n_docs"), 2)),
         batch_format="pyarrow",
     )
@@ -1075,29 +1065,32 @@ def q_exact_distinct_users(sf_dir: str) -> ray.data.Dataset:
     pair exchange; the sketch when you cannot."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
+    from ..functions.hashing import bucket_ids_multi
+    from ..stages.shuffle import partial_groupby_sum
+
     def distinct_pairs(batch: pa.Table) -> pa.Table:
-        return batch.group_by(["event_type", "user_id"]).aggregate([])
+        b = batch.group_by(["event_type", "user_id"]).aggregate([])
+        cb = bucket_ids_multi(
+            [b.column("event_type"), b.column("user_id")], 64
+        )
+        return b.append_column("__b", pa.array(cb, pa.int32()))
 
-    pairs = (
-        ds.map_batches(distinct_pairs, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count())
-    )
-
-    def ones(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": batch.column("event_type"),
-                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
-            }
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        return (
+            group.drop_columns(["__b"])
+            .group_by(["event_type", "user_id"])
+            .aggregate([])
         )
 
-    agg = (
-        pairs.map_batches(ones, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("one"))
+    distinct = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_distinct, batch_format="pyarrow")
     )
-    return _rename(agg, {"sum(one)": "n_users"})
+    return _rename(
+        partial_groupby_sum(distinct, ["event_type"], [], count_as="n"),
+        {"n": "n_users"},
+    )
 
 
 def q_events_value_stats(sf_dir: str) -> ray.data.Dataset:

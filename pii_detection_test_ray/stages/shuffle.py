@@ -21,6 +21,7 @@ naive groupby (verified against the DuckDB oracles).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -118,16 +119,57 @@ def salted_keep_min(
         salts = bucket_ids(batch.column(id_col), num_salts, seed=1)
         return batch.append_column("__salt", pa.array(salts, pa.int32()))
 
-    def keep_min(group: pa.Table) -> pa.Table:
-        idx = pc.index(
-            group.column(id_col), pc.min(group.column(id_col)).as_py()
-        ).as_py()
-        return group.slice(idx, 1)
+    stage1 = _keep_min_bucketed(
+        ds.map_batches(add_salt, batch_format="pyarrow"),
+        [key_col, "__salt"],
+        id_col,
+    ).drop_columns(["__salt"])
+    return _keep_min_bucketed(stage1, [key_col], id_col)
 
-    stage1 = (
-        ds.map_batches(add_salt, batch_format="pyarrow")
-        .groupby([key_col, "__salt"])
-        .map_groups(keep_min, batch_format="pyarrow")
-        .drop_columns(["__salt"])
+
+def _keep_min_bucketed(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    id_col: str,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """First (min-id) row per ``group_cols`` group via the coarse-bucket
+    pattern: composite-hash the group key to ``num_buckets`` int32 values
+    (cheap small-key exchange — never a sort over distinct keys), then ONE
+    lexsort per bucket marks every group's min-id row at once. Replaces
+    the per-group ``map_groups`` call that cost one Python invocation per
+    distinct key. Memory per reducer is one bucket's rows — salting
+    upstream (see ``salted_keep_min``) keeps hot groups split across
+    buckets."""
+    from ..functions.hashing import bucket_ids_multi
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_ids_multi(
+            [batch.column(c) for c in group_cols], num_buckets
+        )
+        return batch.append_column("__b", pa.array(b, pa.int32()))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__b"])
+        n = group.num_rows
+        if n == 0:
+            return group
+        codes = []
+        for c in group_cols:
+            vals = group.column(c).to_numpy(zero_copy_only=False)
+            codes.append(np.unique(vals, return_inverse=True)[1])
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        _, id_code = np.unique(ids, return_inverse=True)
+        order = np.lexsort((id_code, *reversed(codes)))
+        starts = np.zeros(n, dtype=bool)
+        starts[0] = True
+        for c in codes:
+            c_s = c[order]
+            starts[1:] |= c_s[1:] != c_s[:-1]
+        return group.take(pa.array(order[starts], pa.int64()))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
-    return stage1.groupby(key_col).map_groups(keep_min, batch_format="pyarrow")
