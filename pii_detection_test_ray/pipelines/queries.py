@@ -276,14 +276,10 @@ def q_vocab_top_tokens(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    agg = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n"))
-    )
-    ranked = _rename(agg, {"sum(n)": "n"}).sort(
-        ["n", "token"], descending=[True, False]
-    )
+    from ..stages.shuffle import partial_groupby_sum as _pgs
+
+    agg = _pgs(ds.map_batches(partials, batch_format="pyarrow"), ["token"], ["n"])
+    ranked = agg.sort(["n", "token"], descending=[True, False])
     return ranked.limit(100)
 
 
@@ -1533,18 +1529,20 @@ def q_events_rollup(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    per_pair = (
-        ds.map_batches(pair_partials, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"])
-        .aggregate(Sum("value_micros"), Sum("n_events"))
+    from ..stages.shuffle import partial_groupby_sum as _pgs2
+
+    per_pair = _pgs2(
+        ds.map_batches(pair_partials, batch_format="pyarrow"),
+        ["event_type", "user_id"],
+        ["value_micros", "n_events"],
     )
 
     def strip(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "event_type": batch.column("event_type"),
-                "value_micros": batch.column("sum(value_micros)"),
-                "n_events": batch.column("sum(n_events)"),
+                "value_micros": batch.column("value_micros"),
+                "n_events": batch.column("n_events"),
             }
         )
 

@@ -50,8 +50,6 @@ def boilerplate_line_hashes(
 ) -> np.ndarray:
     """Sorted uint64 hashes of every non-blank line appearing in ≥
     ``min_df`` distinct documents."""
-    from ray.data.aggregate import Sum
-
     def partials(batch: pa.Table) -> pa.Table:
         counts: dict[int, int] = {}
         for t in batch.column(text_col).to_pylist():
@@ -75,14 +73,18 @@ def boilerplate_line_hashes(
             }
         )
 
-    df = ds.map_batches(partials, batch_format="pyarrow").groupby(
-        "lhash"
-    ).aggregate(Sum("n"))
     import pyarrow.compute as pc
 
+    from .shuffle import partial_groupby_sum
+
+    # Combiner + coarse-bucket reduce: distinct-line cardinality (large —
+    # every unique sentence) never hits Ray's per-key sort-aggregate.
+    df = partial_groupby_sum(
+        ds.map_batches(partials, batch_format="pyarrow"), ["lhash"], ["n"]
+    )
     boiler = df.map_batches(
         lambda t: t.filter(
-            pc.greater_equal(t.column("sum(n)"), pa.scalar(min_df))
+            pc.greater_equal(t.column("n"), pa.scalar(min_df))
         ).select(["lhash"]),
         batch_format="pyarrow",
     )

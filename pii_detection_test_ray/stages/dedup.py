@@ -585,10 +585,26 @@ def ngram_jaccard_pairs(
     cand = _coarse_bucketed_pairs(
         bands, "band_key", lambda g: _candidates_from_group(g, id_col)
     )
+    # Distinct candidate pairs via the coarse-bucket reduce (hash id_a to
+    # 64 int32 buckets, Arrow group_by per bucket) — the distinct-pair
+    # cardinality never hits Ray's per-key sort-aggregate.
+    from ..functions.hashing import bucket_ids as _bids
+
+    def _tag_pair_bucket(batch: pa.Table) -> pa.Table:
+        b = _bids(batch.column("id_a"), 64)
+        return batch.append_column("__b", pa.array(b, pa.int32()))
+
+    def _bucket_distinct(group: pa.Table) -> pa.Table:
+        return (
+            group.select(["id_a", "id_b"])
+            .group_by(["id_a", "id_b"])
+            .aggregate([])
+        )
+
     distinct = (
-        cand.groupby(["id_a", "id_b"])
-        .aggregate(Count())
-        .select_columns(["id_a", "id_b"])
+        cand.map_batches(_tag_pair_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(_bucket_distinct, batch_format="pyarrow")
     )
 
     def rename_to(id_name: str, text_name: str):

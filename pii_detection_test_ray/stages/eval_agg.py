@@ -229,9 +229,12 @@ def worst_failures(rows: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
     """O2: non-perfect docs, ascending micro-F1, first k (one row per doc)."""
     import pyarrow.compute as pc
 
-    doc_rows = rows.groupby("url").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    # One row per url (all selected columns are doc-level constants across
+    # a url's category rows): bucketed vectorized keep-min instead of one
+    # Python map_groups call per document.
+    from .shuffle import _keep_min_bucketed
+
+    doc_rows = _keep_min_bucketed(rows, ["url"], id_col="url")
     imperfect = doc_rows.map_batches(
         lambda t: t.filter(pc.less(t.column("micro_f1"), 1.0)),
         batch_format="pyarrow",

@@ -60,16 +60,21 @@ def tumbling_window_agg(
             }
         )
 
-    agg = (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby([key_col, "window_start"])
-        .aggregate(Count(), Sum("value_micros"))
+    from .shuffle import partial_groupby_sum
+
+    # (key, window) cardinality grows with the stream — the combiner +
+    # coarse-bucket reduce keeps it off Ray's per-key sort-aggregate.
+    agg = partial_groupby_sum(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        [key_col, "window_start"],
+        ["value_micros"],
+        count_as="n_events",
     )
 
     def clean(batch: pa.Table) -> pa.Table:
-        # Re-cast AFTER the aggregate: the shuffle re-infers the key column
-        # at seconds precision, but DuckDB's date_trunc is TIMESTAMP (us) and
-        # the driver's value hash is dtype-sensitive.
+        # Re-cast AFTER the aggregate: the exchange may re-infer the key
+        # column at seconds precision, but DuckDB's date_trunc is TIMESTAMP
+        # (us) and the driver's value hash is dtype-sensitive.
         batch = batch.set_column(
             batch.column_names.index("window_start"),
             "window_start",
@@ -77,9 +82,7 @@ def tumbling_window_agg(
         )
         return batch.rename_columns(
             [
-                {"count()": "n_events", "sum(value_micros)": "total_value_micros"}.get(
-                    c, c
-                )
+                {"value_micros": "total_value_micros"}.get(c, c)
                 for c in batch.column_names
             ]
         )
