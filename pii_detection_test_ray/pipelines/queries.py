@@ -1855,6 +1855,20 @@ def q_events_windowed(sf_dir: str) -> ray.data.Dataset:
     return tumbling_window_agg(ds, "event_type", "ts", "value", window="hour")
 
 
+def q_events_hopping(sf_dir: str) -> ray.data.Dataset:
+    """Hopping-window aggregate (1-hour windows starting every 30 min —
+    each event in exactly 2 windows): map-side replication by the constant
+    length/hop factor, combiner + coarse-bucket reduce. Completes the
+    window family: tumbling (events_windowed), session (sessionize),
+    cumulative (running_user_totals), hopping (here)."""
+    from ..stages.windows import hopping_window_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return hopping_window_agg(
+        ds, "event_type", "ts", "value", length_minutes=60, hop_minutes=30
+    )
+
+
 def q_sessionize(sf_dir: str) -> ray.data.Dataset:
     """Gap-based sessionization (30-min gap) per user over the event log."""
     from ..stages.windows import sessionize
@@ -2317,6 +2331,7 @@ QUERIES = {
     "sources_per_lang": q_sources_per_lang,
     "orders_monthly_dense": q_orders_monthly_dense,
     "quantiles_cont": q_quantiles_cont,
+    "events_hopping": q_events_hopping,
     # past-window, rows-only (pure-Python oracle in tests/test_boilerplate.py)
     "boilerplate_lines": q_boilerplate_lines,
     # past-window, rows-only (composition pinned by tests/test_curate.py)

@@ -586,6 +586,27 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type, date_trunc('hour', ts)
     """,
+    # Hopping windows as UNION ALL of the two covering 30-min grid starts
+    # (time_bucket's 2000-01-01 origin is 30-min-aligned with the epoch
+    # grid the engine floors to, so the buckets agree).
+    "events_hopping": """
+        WITH e AS (
+            SELECT event_type,
+                   time_bucket(INTERVAL 30 MINUTE, ts) AS b,
+                   CAST(round(value * 1000000, 0) AS BIGINT) AS vm
+            FROM events
+        ),
+        w AS (
+            SELECT event_type, b AS window_start, vm FROM e
+            UNION ALL
+            SELECT event_type, b - INTERVAL 30 MINUTE, vm FROM e
+        )
+        SELECT event_type, window_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(vm) AS BIGINT) AS total_value_micros
+        FROM w
+        GROUP BY event_type, window_start
+    """,
     "sessionize": """
         WITH ordered AS (
             SELECT user_id, ts,

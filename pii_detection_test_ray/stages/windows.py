@@ -259,3 +259,78 @@ def running_totals(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def hopping_window_agg(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    length_minutes: int = 60,
+    hop_minutes: int = 30,
+) -> ray.data.Dataset:
+    """Hopping (overlapping) window aggregate: windows of ``length`` start
+    every ``hop``; an event lands in ``length/hop`` windows. The map side
+    replicates each event once per covering window (vectorized integer
+    arithmetic on µs — no temporal kernels in the hot path), then the
+    combiner + coarse-bucket reduce folds (key, window_start) cells —
+    replication factor is the constant length/hop, never data-dependent.
+    ``length`` must be a multiple of ``hop`` (checked)."""
+    if length_minutes % hop_minutes:
+        raise ValueError("length_minutes must be a multiple of hop_minutes")
+    n_windows = length_minutes // hop_minutes
+    hop_us = hop_minutes * 60 * 1_000_000
+
+    from .shuffle import partial_groupby_sum
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = (
+            pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        micros = (
+            pc.cast(
+                pc.round(
+                    pc.multiply(batch.column(value_col), 1_000_000.0), 0,
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+        )
+        base = (ts // hop_us) * hop_us
+        keys = batch.column(key_col)
+        parts = []
+        for k in range(n_windows):
+            starts = base - k * hop_us
+            parts.append(
+                pa.table(
+                    {
+                        key_col: keys,
+                        "window_start": pa.array(starts, pa.int64()),
+                        "value_micros": pa.array(micros, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    agg = partial_groupby_sum(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        [key_col, "window_start"],
+        ["value_micros"],
+        count_as="n_events",
+    )
+
+    def clean(batch: pa.Table) -> pa.Table:
+        batch = batch.set_column(
+            batch.column_names.index("window_start"),
+            "window_start",
+            pc.cast(batch.column("window_start"), pa.timestamp("us")),
+        )
+        return batch.rename_columns(
+            [
+                {"value_micros": "total_value_micros"}.get(c, c)
+                for c in batch.column_names
+            ]
+        )
+
+    return agg.map_batches(clean, batch_format="pyarrow")

@@ -50,6 +50,7 @@ QUERY_SLICE = [
     "sources_per_lang",
     "orders_monthly_dense",
     "quantiles_cont",
+    "events_hopping",
 ]
 
 
