@@ -35,9 +35,14 @@ def _checkpoint(
     checkpoint dir is given (streaming, resumable, spillable), object-store
     materialize otherwise (test-scale only)."""
     if checkpoint_dir:
+        import shutil
+
         path = os.path.join(checkpoint_dir, name)
         marker = os.path.join(path, "_complete")
         if not os.path.exists(marker):
+            # No marker ⇒ any existing files are leftovers of a crashed
+            # write; clear them so the rewrite can't union with stale parts.
+            shutil.rmtree(path, ignore_errors=True)
             ds.write_parquet(path)
             open(marker, "w").close()
         return ray.data.read_parquet(path, file_extensions=["parquet"])

@@ -69,3 +69,28 @@ def test_curate_checkpoints_and_resumes(ray_session, corpus_with_dups, tmp_path)
     # and matches the non-checkpointed path
     direct = sorted(r["url"] for r in curate_corpus(_files(corpus)).take_all())
     assert first == direct
+
+
+def test_curate_regenerates_incomplete_phase(ray_session, corpus_with_dups, tmp_path):
+    """Crash probe: a phase directory without its _complete marker (the
+    atomic-write contract) is junk from a dead run — curate must rewrite
+    it and still produce the exact same corpus."""
+    import shutil
+
+    from pii_detection_test_ray.pipelines.curate import curate_corpus
+
+    corpus, _ = corpus_with_dups
+    ck = str(tmp_path / "ck")
+    first = sorted(
+        r["url"] for r in curate_corpus(_files(corpus), checkpoint_dir=ck).take_all()
+    )
+    # simulate a crash mid-phase-2: marker gone, stale parquet left behind
+    phase2 = os.path.join(ck, "phase2_cleaned")
+    os.remove(os.path.join(phase2, "_complete"))
+    parts = [f for f in os.listdir(phase2) if f.endswith(".parquet")]
+    os.remove(os.path.join(phase2, parts[0]))  # truncated output
+    again = sorted(
+        r["url"] for r in curate_corpus(_files(corpus), checkpoint_dir=ck).take_all()
+    )
+    assert again == first
+    assert os.path.exists(os.path.join(phase2, "_complete"))
