@@ -246,6 +246,43 @@ def run_latency() -> dict:
 
 
 def main() -> None:
+    global BENCH_DOCS
+
+    if "--curate" in sys.argv:
+        # Full curation chain (filter+scrub → boilerplate strip → exact
+        # dedup → near-dedup) end to end over the bench corpus, parquet
+        # checkpoints between phases (fresh dir per run — no warm cache).
+        import shutil
+        import tempfile
+
+        from pii_detection_test_ray.pipelines.curate import curate_corpus
+        from pii_detection_test_ray.pipelines.quality_filter import PipelineOptions
+
+        _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+        corpus = bench_corpus_dir()
+        files = sorted(
+            os.path.join(f"{corpus}/documents", f)
+            for f in os.listdir(f"{corpus}/documents")
+            if f.endswith(".parquet")
+        )
+        opts = PipelineOptions.auto()
+        ck = tempfile.mkdtemp(prefix="pdtr_curate_bench_")
+        t0 = time.time()
+        out = curate_corpus(files, opts, checkpoint_dir=ck)
+        n_out = out.count()
+        wall = time.time() - t0
+        shutil.rmtree(ck, ignore_errors=True)
+        print(json.dumps({
+            "metric": "curation chain wall (filter+scrub+boiler+dedup)",
+            "value": round(wall, 3), "unit": "sec",
+            "docs_in": BENCH_DOCS, "docs_out": n_out,
+            "docs_per_sec": round(BENCH_DOCS / wall, 1),
+        }))
+        import ray
+
+        ray.shutdown()
+        return
+
     if "--latency" in sys.argv:
         print(json.dumps(run_latency()))
         return
@@ -273,7 +310,6 @@ def main() -> None:
         # worker/actor spin-up) is small against compute at both CPU levels —
         # the in-sandbox stand-in for N vs 4N nodes at 10^12-doc scale.
         os.environ["BENCH_DOCS"] = os.environ.get("BENCH_SCALING_DOCS", "192000")
-        global BENCH_DOCS
         BENCH_DOCS = int(os.environ["BENCH_DOCS"])
         lo, hi = (
             int(x) for x in os.environ.get("BENCH_SCALING_LEVELS", "4,16").split(",")

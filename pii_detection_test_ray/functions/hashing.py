@@ -218,10 +218,19 @@ def char_shingles(text: str, k: int = 5) -> list[str]:
 
 
 def shingle_hashes(shingles: list[str]) -> np.ndarray:
-    """uint64 content hashes of shingles (deduplicated)."""
+    """uint64 content hashes of shingles (deduplicated). ONE vectorized
+    fixed-key siphash call over the whole shingle list (pd.util.hash_array
+    — process-stable, like every other tag hash here) instead of a Python
+    blake2b per shingle: shingling is the CPU hog of MinHash at corpus
+    scale (round 2's flagged per-row-hash pattern, now fixed in this last
+    holdout)."""
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    import pandas as pd
+
     return np.unique(
-        np.fromiter((blake64(s) for s in shingles), dtype=np.uint64, count=len(shingles))
-    ) if shingles else np.empty(0, dtype=np.uint64)
+        pd.util.hash_array(np.asarray(shingles, dtype=object), categorize=False)
+    )
 
 
 class MinHasher:
@@ -286,8 +295,10 @@ def simhash64(text: str) -> int:
     toks = word_tokens(text)
     if not toks:
         return 0
+    import pandas as pd
+
     uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-    hashes = np.fromiter((blake64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+    hashes = pd.util.hash_array(uniq, categorize=False)
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
         np.int64
     )
