@@ -799,6 +799,28 @@ def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def q_lang_source_pivot(sf_dir: str) -> pa.Table:
+    """PIVOT (dynamic wide schema): doc counts as one column per source,
+    one row per lang, zero-filled — DuckDB ``PIVOT documents ON source
+    USING count(*) GROUP BY lang``. The corpus scan is the distributed
+    combiner aggregate; only the langs × sources CELLS (group-cardinality-
+    sized by definition — that is what makes any pivot renderable) come to
+    the driver, where the wide table is assembled with its data-dependent
+    schema."""
+    from ..stages.shuffle import partial_groupby_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    cells = partial_groupby_sum(ds, ["lang", "source"], [], count_as="n")
+    rows = cells.take_all()
+    sources = sorted({r["source"] for r in rows})
+    langs = sorted({r["lang"] for r in rows})
+    counts = {(r["lang"], r["source"]): r["n"] for r in rows}
+    out: dict = {"lang": pa.array(langs, pa.string())}
+    for s in sources:
+        out[s] = pa.array([counts.get((l, s), 0) for l in langs], pa.int64())
+    return pa.table(out)
+
+
 def q_quantiles_cont(sf_dir: str) -> ray.data.Dataset:
     """Interpolated quantiles (percentile_cont semantics) from the same
     bounded-domain histogram plan as ``q_exact_quantiles``: rank
@@ -2332,6 +2354,7 @@ QUERIES = {
     "orders_monthly_dense": q_orders_monthly_dense,
     "quantiles_cont": q_quantiles_cont,
     "events_hopping": q_events_hopping,
+    "lang_source_pivot": q_lang_source_pivot,
     # past-window, rows-only (pure-Python oracle in tests/test_boilerplate.py)
     "boilerplate_lines": q_boilerplate_lines,
     # past-window, rows-only (composition pinned by tests/test_curate.py)

@@ -309,6 +309,9 @@ ORACLES: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
+    "lang_source_pivot": """
+        PIVOT documents ON source USING count(*) GROUP BY lang
+    """,
     "quantiles_cont": """
         SELECT lang,
                percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars)

@@ -51,6 +51,7 @@ QUERY_SLICE = [
     "orders_monthly_dense",
     "quantiles_cont",
     "events_hopping",
+    "lang_source_pivot",
 ]
 
 
