@@ -1203,81 +1203,51 @@ def q_boilerplate_lines(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def q_grouping_rollup(sf_dir: str) -> ray.data.Dataset:
+def q_grouping_rollup(sf_dir: str) -> pa.Table:
     """Multi-level aggregate (SQL ``GROUP BY ROLLUP (lang, source)``):
     (lang, source) cells + per-lang subtotals + a grand total, with NULL
-    group columns marking the coarser levels. Scale plan: ONE pass over
-    the corpus builds the finest-grain combiner aggregate; every coarser
-    level re-aggregates THAT (cells ≤ |langs|·|sources| rows — re-scanning
-    the corpus per level, which is what a naive rollup does, is never
-    needed). The union is three tiny datasets."""
+    group columns marking the coarser levels. ONE distributed combiner
+    pass builds the finest-grain cells; the coarser levels are arithmetic
+    over that group-cardinality-sized cell table on the driver (a lazy
+    three-branch union re-executed the corpus scan per level — rolling up
+    ≤ |langs|·|sources| rows locally is the scale-correct plan, the same
+    justification as the PIVOT query)."""
     from ..stages.shuffle import partial_groupby_sum
 
     ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
     fine = partial_groupby_sum(
         ds, ["lang", "source"], ["n_chars"], count_as="n_docs"
     )
-    fine = _rename(fine, {"n_chars": "total_chars"})
-    by_lang = partial_groupby_sum(fine, ["lang"], ["total_chars", "n_docs"])
-
-    def shape(with_source: bool):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "lang": batch.column("lang"),
-                    "source": batch.column("source")
-                    if with_source
-                    else pa.nulls(batch.num_rows, pa.string()),
-                    "n_docs": pc.cast(batch.column("n_docs"), pa.int64()),
-                    "total_chars": pc.cast(
-                        batch.column("total_chars"), pa.int64()
-                    ),
-                }
-            )
-
-        return fn
-
-    def grand(batch: pa.Table) -> pa.Table:
-        # Per-batch partial of the (already tiny) per-lang level; the
-        # groupby below folds partials into the single grand-total row.
-        return pa.table(
-            {
-                "__k": pa.array([0] * min(1, batch.num_rows), pa.int32()),
-                "n_docs": pa.array(
-                    [pc.sum(batch.column("n_docs")).as_py() or 0][: batch.num_rows],
-                    pa.int64(),
-                ),
-                "total_chars": pa.array(
-                    [pc.sum(batch.column("total_chars")).as_py() or 0][
-                        : batch.num_rows
-                    ],
-                    pa.int64(),
-                ),
-            }
-        )
-
-    total = (
-        by_lang.map_batches(grand, batch_format="pyarrow")
-        .groupby("__k")
-        .aggregate(Sum("n_docs"), Sum("total_chars"))
-    )
-
-    def total_row(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "lang": pa.nulls(batch.num_rows, pa.string()),
-                "source": pa.nulls(batch.num_rows, pa.string()),
-                "n_docs": pc.cast(batch.column("sum(n_docs)"), pa.int64()),
-                "total_chars": pc.cast(
-                    batch.column("sum(total_chars)"), pa.int64()
-                ),
-            }
-        )
-
-    return (
-        fine.map_batches(shape(True), batch_format="pyarrow")
-        .union(by_lang.map_batches(shape(False), batch_format="pyarrow"))
-        .union(total.map_batches(total_row, batch_format="pyarrow"))
+    rows = fine.take_all()
+    langs: dict[str, list[int]] = {}
+    out_lang: list = []
+    out_src: list = []
+    out_n: list[int] = []
+    out_chars: list[int] = []
+    for r in sorted(rows, key=lambda r: (r["lang"], r["source"])):
+        out_lang.append(r["lang"])
+        out_src.append(r["source"])
+        out_n.append(r["n_docs"])
+        out_chars.append(r["n_chars"])
+        agg = langs.setdefault(r["lang"], [0, 0])
+        agg[0] += r["n_docs"]
+        agg[1] += r["n_chars"]
+    for lang in sorted(langs):
+        out_lang.append(lang)
+        out_src.append(None)
+        out_n.append(langs[lang][0])
+        out_chars.append(langs[lang][1])
+    out_lang.append(None)
+    out_src.append(None)
+    out_n.append(sum(v[0] for v in langs.values()))
+    out_chars.append(sum(v[1] for v in langs.values()))
+    return pa.table(
+        {
+            "lang": pa.array(out_lang, pa.string()),
+            "source": pa.array(out_src, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "total_chars": pa.array(out_chars, pa.int64()),
+        }
     )
 
 
