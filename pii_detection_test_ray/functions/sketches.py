@@ -212,3 +212,66 @@ class MisraGries:
     def top(self, n: int) -> list[tuple]:
         """(value, lower-bound count) pairs, count desc then value asc."""
         return sorted(self.counts.items(), key=lambda kv: (-kv[1], str(kv[0])))[:n]
+
+
+class BloomFilter:
+    """Mergeable Bloom filter over Arrow key columns — the shuffle-volume
+    prefilter for distributed semi/anti joins (a membership "no" is exact;
+    a "maybe" goes through the exact bucketed join, so false positives
+    cost only bytes, never correctness).
+
+    Vectorized end to end: ``add_column``/``contains_column`` make ONE
+    ``hash64_column`` call per batch and derive the k probe positions with
+    splitmix streams (seeded, deterministic across processes). Merging is
+    bitwise OR — partial filters built per batch fold associatively, the
+    property that lets the build side stay distributed.
+    """
+
+    def __init__(self, num_bits: int = 1 << 20, num_hashes: int = 4) -> None:
+        if num_bits & (num_bits - 1):
+            raise ValueError("num_bits must be a power of two")
+        self.num_bits = num_bits
+        self.num_hashes = num_hashes
+        self.words = np.zeros(num_bits // 64, dtype=np.uint64)
+
+    def _positions(self, arr) -> "np.ndarray":
+        from .hashing import _splitmix64, hash64_column
+
+        h = hash64_column(arr)
+        pos = np.empty((self.num_hashes, len(h)), dtype=np.uint64)
+        for k in range(self.num_hashes):
+            h = _splitmix64(h ^ np.uint64(0x9E37_79B9 + k))
+            pos[k] = h & np.uint64(self.num_bits - 1)
+        return pos
+
+    def add_column(self, arr) -> None:
+        pos = self._positions(arr).ravel()
+        np.bitwise_or.at(
+            self.words, pos >> np.uint64(6),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+    def contains_column(self, arr) -> "np.ndarray":
+        """Boolean mask: False = DEFINITELY absent, True = maybe present."""
+        pos = self._positions(arr)
+        hits = (
+            self.words[pos >> np.uint64(6)] >> (pos & np.uint64(63))
+        ) & np.uint64(1)
+        return hits.all(axis=0).astype(bool)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.num_bits == other.num_bits
+        self.words |= other.words
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.words.tobytes()
+
+    @classmethod
+    def from_bytes(
+        cls, data: bytes, num_hashes: int = 4
+    ) -> "BloomFilter":
+        words = np.frombuffer(data, dtype=np.uint64).copy()
+        bf = cls(num_bits=len(words) * 64, num_hashes=num_hashes)
+        bf.words = words
+        return bf

@@ -221,6 +221,28 @@ def hash_join(
     )
 
 
+def build_bloom(
+    keys_ds: ray.data.Dataset,
+    keys_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+):
+    """Distributed Bloom build: one partial filter per batch (map-side),
+    folded by bitwise OR. The driver holds only the fixed-size filters
+    (num_bits/8 bytes each), never the keys."""
+    from ..functions.sketches import BloomFilter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(num_bits=num_bits, num_hashes=num_hashes)
+        bf.add_column(batch.column(keys_col))
+        return pa.table({"bloom": pa.array([bf.to_bytes()], pa.binary())})
+
+    out = BloomFilter(num_bits=num_bits, num_hashes=num_hashes)
+    for row in keys_ds.map_batches(partial, batch_format="pyarrow").take_all():
+        out.merge(BloomFilter.from_bytes(row["bloom"], num_hashes=num_hashes))
+    return out
+
+
 def _bucketed_membership_join(
     big: ray.data.Dataset,
     keys_ds: ray.data.Dataset,
@@ -228,11 +250,46 @@ def _bucketed_membership_join(
     keys_col: str | None,
     num_buckets: int | None,
     anti: bool,
+    bloom_bits: int = 0,
 ) -> ray.data.Dataset:
     """Shared core of the distributed semi/anti join: co-locate big-side
     rows with the filter keys by key-hash bucket, build the key set
     per-bucket (each bucket sees ~|keys|/B of the key side), filter there.
-    The key side never touches the driver, so it may be fact-sized."""
+    The key side never touches the driver, so it may be fact-sized.
+
+    ``bloom_bits > 0`` adds the classic shuffle-volume prefilter: a
+    mergeable Bloom filter of the key side is built map-side (fixed-size
+    partials, OR-fold) and broadcast; big-side rows the filter rules out
+    are handled BEFORE the exchange — dropped (semi) or emitted directly
+    (anti: a definite non-member is part of the answer) — and only the
+    "maybe" rows pay the shuffle. False positives only add shuffle bytes;
+    the per-bucket exact set decides membership either way."""
+    if bloom_bits:
+        bloom = build_bloom(keys_ds, keys_col or key_col, num_bits=bloom_bits)
+        bloom_ref = ray.put(bloom.to_bytes())
+        n_hashes = bloom.num_hashes
+
+        def split(batch: pa.Table, keep_maybe: bool) -> pa.Table:
+            from ..functions.sketches import BloomFilter
+
+            bf = BloomFilter.from_bytes(ray.get(bloom_ref), num_hashes=n_hashes)
+            maybe = bf.contains_column(batch.column(key_col))
+            mask = maybe if keep_maybe else ~maybe
+            return batch.filter(pa.array(mask))
+
+        maybes = big.map_batches(
+            split, batch_format="pyarrow", fn_kwargs={"keep_maybe": True}
+        )
+        joined = _bucketed_membership_join(
+            maybes, keys_ds, key_col, keys_col, num_buckets, anti
+        )
+        if not anti:
+            return joined
+        definite_out = big.map_batches(
+            split, batch_format="pyarrow", fn_kwargs={"keep_maybe": False}
+        )
+        return joined.union(definite_out)
+
     if num_buckets is None:
         num_buckets = _auto_num_buckets(big, keys_ds)
     keys_col = keys_col or key_col
@@ -296,11 +353,14 @@ def bucketed_semi_join(
     key_col: str,
     keys_col: str | None = None,
     num_buckets: int | None = None,
+    bloom_bits: int = 0,
 ) -> ray.data.Dataset:
     """Keep big-side rows whose ``key_col`` appears in ``keys_ds.keys_col``
-    — exact, fully distributed (no driver-side key set)."""
+    — exact, fully distributed (no driver-side key set). ``bloom_bits``
+    enables the Bloom shuffle prefilter (exactness preserved)."""
     return _bucketed_membership_join(
-        big, keys_ds, key_col, keys_col, num_buckets, anti=False
+        big, keys_ds, key_col, keys_col, num_buckets, anti=False,
+        bloom_bits=bloom_bits,
     )
 
 
@@ -310,11 +370,15 @@ def bucketed_anti_join(
     key_col: str,
     keys_col: str | None = None,
     num_buckets: int | None = None,
+    bloom_bits: int = 0,
 ) -> ray.data.Dataset:
     """Keep big-side rows whose ``key_col`` does NOT appear in the key side
-    — exact, fully distributed (no driver-side key set)."""
+    — exact, fully distributed (no driver-side key set). ``bloom_bits``
+    enables the Bloom prefilter: definite non-members skip the exchange
+    entirely and are emitted map-side (exactness preserved)."""
     return _bucketed_membership_join(
-        big, keys_ds, key_col, keys_col, num_buckets, anti=True
+        big, keys_ds, key_col, keys_col, num_buckets, anti=True,
+        bloom_bits=bloom_bits,
     )
 
 

@@ -281,3 +281,59 @@ def test_interval_lookup_join(ray_session):
     ]
     with pytest.raises(ValueError):
         interval_lookup_join(ds, "v", [("a", 0.0, 10.0), ("b", 5.0, 20.0)])
+
+
+def test_bloom_prefiltered_semi_anti_match_exact(ray_session):
+    """Bloom prefilter preserves exact semi/anti semantics, including under
+    a deliberately tiny (collision-heavy) filter — false positives may
+    only add shuffle volume, never rows."""
+    from pii_detection_test_ray.stages.joins import (
+        bucketed_anti_join,
+        bucketed_semi_join,
+    )
+
+    rows = [{"id": i, "key": i % 50} for i in range(400)]
+    ds = ray.data.from_items(rows, override_num_blocks=3)
+    keys_ds = ray.data.from_items(
+        [{"fk": k} for k in range(0, 50, 3)], override_num_blocks=2
+    )
+    base_semi = sorted(
+        r["id"]
+        for r in bucketed_semi_join(ds, keys_ds, "key", keys_col="fk").take_all()
+    )
+    base_anti = sorted(
+        r["id"]
+        for r in bucketed_anti_join(ds, keys_ds, "key", keys_col="fk").take_all()
+    )
+    for bits in (1 << 16, 64):  # roomy and collision-saturated
+        semi = sorted(
+            r["id"]
+            for r in bucketed_semi_join(
+                ds, keys_ds, "key", keys_col="fk", bloom_bits=bits
+            ).take_all()
+        )
+        anti = sorted(
+            r["id"]
+            for r in bucketed_anti_join(
+                ds, keys_ds, "key", keys_col="fk", bloom_bits=bits
+            ).take_all()
+        )
+        assert semi == base_semi and anti == base_anti
+
+
+def test_bloom_filter_no_false_negatives(ray_session):
+    """Membership 'no' is exact by construction; fuzz across dtypes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pii_detection_test_ray.functions.sketches import BloomFilter
+
+    for vals, probes in [
+        (list(range(0, 1000, 7)), list(range(1000))),
+        ([f"k{i}" for i in range(500)], [f"k{i}" for i in range(700)]),
+    ]:
+        bf = BloomFilter(num_bits=1 << 14)
+        bf.add_column(pa.array(vals))
+        mask = bf.contains_column(pa.array(probes))
+        member = np.array([p in set(vals) for p in probes])
+        assert mask[member].all()  # no false negatives
