@@ -799,6 +799,50 @@ def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def q_profile_documents(sf_dir: str) -> pa.Table:
+    """One-pass table profile of the documents table (per-column rows,
+    nulls, min/max, HLL distinct). Rows-only — the approx-distinct column
+    cannot hash-match SQL by design; the exact fields are pinned against
+    DuckDB in tests/test_profile.py."""
+    from ..stages.profile import profile_table
+
+    ds = _read(sf_dir, "documents")
+    return profile_table(ds)
+
+
+def q_sample_per_lang(sf_dir: str) -> ray.data.Dataset:
+    """Per-group deterministic 'random' sample: 3 docs per lang ranked by
+    the content-hash fingerprint — the eval-set-construction shape (a
+    seeded random sample is engine- and partitioning-dependent; a hash
+    rank is reproducible everywhere). Pure reuse of the coarse-bucketed
+    top-k machinery with the md5 fingerprint as the order column."""
+    from ..stages.windows import top_k_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        fps = [
+            text_fingerprint_md5(t or "")
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "doc_id": batch.column("doc_id"),
+                "fp": pa.array(fps, pa.string()),
+            }
+        )
+
+    return top_k_per_group(
+        ds.map_batches(add_rank, batch_format="pyarrow"),
+        group_col="lang",
+        order_col="fp",
+        id_col="doc_id",
+        k=3,
+        descending=False,
+    )
+
+
 def q_lang_source_pivot(sf_dir: str) -> pa.Table:
     """PIVOT (dynamic wide schema): doc counts as one column per source,
     one row per lang, zero-filled — DuckDB ``PIVOT documents ON source
@@ -2325,6 +2369,9 @@ QUERIES = {
     "quantiles_cont": q_quantiles_cont,
     "events_hopping": q_events_hopping,
     "lang_source_pivot": q_lang_source_pivot,
+    "sample_per_lang": q_sample_per_lang,
+    # rows-only (exact fields DuckDB-pinned in tests/test_profile.py)
+    "profile_documents": q_profile_documents,
     # past-window, rows-only (pure-Python oracle in tests/test_boilerplate.py)
     "boilerplate_lines": q_boilerplate_lines,
     # past-window, rows-only (composition pinned by tests/test_curate.py)

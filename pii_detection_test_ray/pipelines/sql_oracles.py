@@ -309,6 +309,17 @@ ORACLES: dict[str, str] = {
         JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
+    "sample_per_lang": """
+        SELECT lang, doc_id,
+               md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) AS fp,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')),
+                            doc_id
+               ) AS BIGINT) AS rank
+        FROM documents
+        QUALIFY rank <= 3
+    """,
     "lang_source_pivot": """
         PIVOT documents ON source USING count(*) GROUP BY lang
     """,

@@ -52,6 +52,7 @@ QUERY_SLICE = [
     "quantiles_cont",
     "events_hopping",
     "lang_source_pivot",
+    "sample_per_lang",
 ]
 
 

@@ -1,0 +1,47 @@
+"""One-pass table profiling (stages/profile.py): exact fields vs DuckDB,
+HLL distinct within its error bound, nulls handled."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+import ray.data
+
+duckdb = pytest.importorskip("duckdb")
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_profile_matches_duckdb_exact_fields(ray_session):
+    from pii_detection_test_ray.stages.profile import profile_table
+
+    ds = ray.data.read_parquet(f"{SF}/orders.parquet")
+    prof = {r["column"]: r for r in profile_table(ds).to_pylist()}
+    con = duckdb.connect()
+    for c, row in prof.items():
+        n, nulls, lo, hi, nd = con.execute(
+            f"""SELECT count(*), count(*) - count({c}),
+                       CAST(min({c}) AS VARCHAR), CAST(max({c}) AS VARCHAR),
+                       count(DISTINCT {c})
+                FROM read_parquet('{SF}/orders.parquet')"""
+        ).fetchone()
+        assert row["n_rows"] == n and row["n_nulls"] == nulls
+        assert row["min_value"] == lo and row["max_value"] == hi
+        # HLL at p=12: σ ≈ 1.04/√4096 ≈ 1.6%; allow 5%
+        assert abs(row["n_distinct_approx"] - nd) <= max(3, 0.05 * nd)
+
+
+def test_profile_null_and_empty_columns(ray_session):
+    from pii_detection_test_ray.stages.profile import profile_table
+
+    rows = [{"a": i if i % 3 else None, "b": None} for i in range(30)]
+    ds = ray.data.from_items(rows, override_num_blocks=2)
+    prof = {r["column"]: r for r in profile_table(ds).to_pylist()}
+    assert prof["a"]["n_rows"] == 30 and prof["a"]["n_nulls"] == 10
+    assert prof["b"]["n_nulls"] == 30
+    assert prof["b"]["min_value"] is None and prof["b"]["max_value"] is None
+    assert prof["b"]["n_distinct_approx"] == 0
