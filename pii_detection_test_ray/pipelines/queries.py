@@ -353,7 +353,13 @@ def q_tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow")
+    # Materialized once: BOTH the df reduce and the join probe consume
+    # pairs, and Ray re-executes lineage per consumer — without this the
+    # corpus tokenization (the dominant cost) runs twice. The pairs table
+    # is (doc, term, tf) — token-free, a fraction of corpus bytes; at
+    # cluster scale this is the table you'd checkpoint to parquet
+    # (pipelines/curate.py documents the same multi-consumer hazard).
+    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow").materialize()
 
     # df via the combiner + coarse-bucket reduce (partial_groupby_sum):
     # pairs are distinct per (doc, term), so a row count per term IS the
@@ -739,7 +745,7 @@ def q_orders_by_segment(sf_dir: str) -> ray.data.Dataset:
 
 def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
     """LEFT OUTER join shape: every customer with its count and total
-    spend over HIGH-VALUE orders (> $3000.00) — customers with none appear
+    spend over HIGH-VALUE orders (o_totalprice > $300,000) — customers with none appear
     with zeros (the filter makes the outer path non-vacuous: ~2% of
     customers have no qualifying order at sf0.01). Scale plan: orders
     pre-aggregate to one row per custkey (combiner partials — the exchange
@@ -1055,10 +1061,15 @@ def q_json_props_rollup(sf_dir: str) -> ray.data.Dataset:
         ks = []
         has = []
         for p in batch.column("props").to_pylist():
+            # Contract (mirrored by the oracle's TRY_CAST): k counts only
+            # when props parses to an object holding an integer k — any
+            # malformed JSON, non-object, or non-integer k is "absent",
+            # never a task-killing exception.
             try:
                 v = _json.loads(p) if p else {}
                 k = v.get("k")
-            except (ValueError, TypeError):
+                k = k if isinstance(k, int) and not isinstance(k, bool) else None
+            except (ValueError, TypeError, AttributeError):
                 k = None
             ks.append(int(k) if k is not None else 0)
             has.append(1 if k is not None else 0)
@@ -1127,27 +1138,15 @@ def q_exact_distinct_users(sf_dir: str) -> ray.data.Dataset:
     pair exchange; the sketch when you cannot."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
-    from ..functions.hashing import bucket_ids_multi
-    from ..stages.shuffle import partial_groupby_sum
+    from ..stages.shuffle import coarse_bucketed_groupby, partial_groupby_sum
 
-    def distinct_pairs(batch: pa.Table) -> pa.Table:
-        b = batch.group_by(["event_type", "user_id"]).aggregate([])
-        cb = bucket_ids_multi(
-            [b.column("event_type"), b.column("user_id")], 64
-        )
-        return b.append_column("__b", pa.array(cb, pa.int32()))
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
 
-    def bucket_distinct(group: pa.Table) -> pa.Table:
-        return (
-            group.drop_columns(["__b"])
-            .group_by(["event_type", "user_id"])
-            .aggregate([])
-        )
-
-    distinct = (
-        ds.map_batches(distinct_pairs, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(bucket_distinct, batch_format="pyarrow")
+    distinct = coarse_bucketed_groupby(
+        ds.map_batches(local_distinct, batch_format="pyarrow"),
+        ["event_type", "user_id"],
+        [],
     )
     return _rename(
         partial_groupby_sum(distinct, ["event_type"], [], count_as="n"),
@@ -2291,7 +2290,7 @@ def q_multimodal_frames(sf_dir: str) -> ray.data.Dataset:
 # window filled — their cross-engine evidence is the pytest parity gate
 # (tests/test_oracle_parity.py, every run, sf0.001) — and (b) redundant
 # shape-duplicates whose shape is already proven by hash-green siblings.
-# All 70 remain fully registered and run by tools/check_correctness.py.
+# All 78 remain fully registered and run by tools/check_correctness.py.
 QUERIES = {
     # SQL-verified
     "lang_profile": q_lang_profile,

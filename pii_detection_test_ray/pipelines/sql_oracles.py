@@ -381,11 +381,15 @@ ORACLES: dict[str, str] = {
                ) AS BIGINT) AS cum_cents
         FROM events
     """,
+    # TRY_CAST mirrors the engine's only-integer-k contract: malformed
+    # JSON / non-integer k is absent on both sides, never an error.
     "json_props_rollup": """
         SELECT event_type,
-               CAST(sum(coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0))
+               CAST(sum(coalesce(
+                   TRY_CAST(json_extract(props, '$.k') AS BIGINT), 0))
                     AS BIGINT) AS sum_k,
-               CAST(sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+               CAST(sum(CASE WHEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+                                  IS NOT NULL
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
                CAST(count(*) AS BIGINT) AS n_events
         FROM events

@@ -88,12 +88,15 @@ def boilerplate_line_hashes(
         ).select(["lhash"]),
         batch_format="pyarrow",
     )
-    rows = boiler.take_all()
+    # Probe-then-collect: take(cap+1) bounds the driver-side collect even
+    # when the set is enormous (the exact condition the cap guards); when
+    # the probe stays within the cap it already IS the full set.
+    rows = boiler.take(max_boiler_lines + 1)
     if len(rows) > max_boiler_lines:
         raise ValueError(
-            f"boilerplate set has {len(rows)} lines > cap {max_boiler_lines}; "
-            "raise min_df or the cap — the broadcast-small-side assumption "
-            "does not hold for this corpus"
+            f"boilerplate set exceeds cap {max_boiler_lines}; raise min_df "
+            "or the cap — the broadcast-small-side assumption does not "
+            "hold for this corpus"
         )
     return np.sort(
         np.array([r["lhash"] for r in rows], dtype=np.int64).view(np.uint64)

@@ -205,30 +205,18 @@ def _first_per_pair(pairs: ray.data.Dataset, score_col: str) -> ray.data.Dataset
     group_by per bucket) instead of Ray's sort-aggregate over every
     distinct (id_a, id_b) — the distinct-pair cardinality never hits the
     per-key sort machinery (measured ~13× on the exact-Jaccard sibling)."""
-    from ..functions.hashing import bucket_ids
+    from .shuffle import coarse_bucketed_groupby
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        b = bucket_ids(batch.column("id_a"), 64)
-        return batch.append_column("__b", pa.array(b, pa.int32()))
-
-    def reduce_bucket(group: pa.Table) -> pa.Table:
-        g = (
-            group.select(["id_a", "id_b", score_col])
-            .group_by(["id_a", "id_b"])
-            .aggregate([(score_col, "min")])
-        )
-        return pa.table(
+    agg = coarse_bucketed_groupby(pairs, ["id_a", "id_b"], [(score_col, "min")])
+    return agg.map_batches(
+        lambda t: pa.table(
             {
-                "id_a": g.column("id_a"),
-                "id_b": g.column("id_b"),
-                score_col: g.column(f"{score_col}_min"),
+                "id_a": t.column("id_a"),
+                "id_b": t.column("id_b"),
+                score_col: t.column(f"{score_col}_min"),
             }
-        )
-
-    return (
-        pairs.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(reduce_bucket, batch_format="pyarrow")
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -585,27 +573,11 @@ def ngram_jaccard_pairs(
     cand = _coarse_bucketed_pairs(
         bands, "band_key", lambda g: _candidates_from_group(g, id_col)
     )
-    # Distinct candidate pairs via the coarse-bucket reduce (hash id_a to
-    # 64 int32 buckets, Arrow group_by per bucket) — the distinct-pair
-    # cardinality never hits Ray's per-key sort-aggregate.
-    from ..functions.hashing import bucket_ids as _bids
+    # Distinct candidate pairs via the shared coarse-bucket reduce — the
+    # distinct-pair cardinality never hits Ray's per-key sort-aggregate.
+    from .shuffle import coarse_bucketed_groupby
 
-    def _tag_pair_bucket(batch: pa.Table) -> pa.Table:
-        b = _bids(batch.column("id_a"), 64)
-        return batch.append_column("__b", pa.array(b, pa.int32()))
-
-    def _bucket_distinct(group: pa.Table) -> pa.Table:
-        return (
-            group.select(["id_a", "id_b"])
-            .group_by(["id_a", "id_b"])
-            .aggregate([])
-        )
-
-    distinct = (
-        cand.map_batches(_tag_pair_bucket, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(_bucket_distinct, batch_format="pyarrow")
-    )
+    distinct = coarse_bucketed_groupby(cand, ["id_a", "id_b"], [])
 
     def rename_to(id_name: str, text_name: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -846,23 +818,18 @@ def jaccard_pairs_exact(
         .groupby("__cb")
         .map_groups(pairs_in_coarse_bucket, batch_format="pyarrow")
     )
-    # Pair aggregate via the coarse-bucket trick rather than a full Ray
-    # sort-aggregate over millions of DISTINCT (id_a, id_b) keys: bucket
-    # on id_a's hash (few int32 key values → cheap exchange), then ONE
-    # Arrow C++ group_by per bucket counts shared grams and finishes the
-    # jaccard — measured ~2× on the whole operator at sf0.1.
-    from ..functions.hashing import bucket_ids as _bucket_ids
+    # Pair aggregate via the shared coarse-bucket reduce rather than a
+    # full Ray sort-aggregate over millions of DISTINCT (id_a, id_b) keys
+    # — measured ~13× on this operator at sf0.1.
+    from .shuffle import coarse_bucketed_groupby
 
-    def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        pb = _bucket_ids(batch.column("id_a"), 64)
-        return batch.append_column("__pb", pa.array(pb, pa.int32()))
+    agg = coarse_bucketed_groupby(
+        raw_pairs,
+        ["id_a", "id_b"],
+        [("n_a", "count"), ("n_a", "min"), ("n_b", "min")],
+    )
 
-    def finish_bucket(group: pa.Table) -> pa.Table:
-        g = (
-            group.select(["id_a", "id_b", "n_a", "n_b"])
-            .group_by(["id_a", "id_b"])
-            .aggregate([("n_a", "count"), ("n_a", "min"), ("n_b", "min")])
-        )
+    def finish(g: pa.Table) -> pa.Table:
         shared = pc.cast(g.column("n_a_count"), pa.int64())
         union = pc.subtract(
             pc.add(g.column("n_a_min"), g.column("n_b_min")), shared
@@ -880,8 +847,4 @@ def jaccard_pairs_exact(
         )
         return out.filter(pc.greater_equal(jac, pa.scalar(threshold)))
 
-    return (
-        raw_pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("__pb")
-        .map_groups(finish_bucket, batch_format="pyarrow")
-    )
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -173,3 +173,42 @@ def _keep_min_bucketed(
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def coarse_bucketed_groupby(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    aggs: list[tuple[str, str]],
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """The repo's standard high-cardinality reduce, as one named helper:
+    composite-hash the key to ``num_buckets`` int32 values (cheap
+    small-key exchange) and run ONE Arrow C++ ``group_by(...).aggregate``
+    per bucket. ``aggs`` are Arrow (column, fn) pairs — ``[]`` means
+    DISTINCT rows over the key columns. Output columns: key_cols +
+    ``{col}_{fn}`` per aggregate (Arrow naming). See CLAUDE.md: never
+    point Ray's sort-aggregate at a high-cardinality key."""
+    from ..functions.hashing import bucket_ids_multi
+
+    cols_needed = list(
+        dict.fromkeys(key_cols + [c for c, _ in aggs])
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_ids_multi(
+            [batch.column(c) for c in key_cols], num_buckets
+        )
+        return batch.select(cols_needed).append_column(
+            "__b", pa.array(b, pa.int32())
+        )
+
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        return (
+            group.drop_columns(["__b"]).group_by(key_cols).aggregate(aggs)
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )

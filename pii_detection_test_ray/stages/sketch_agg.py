@@ -44,11 +44,20 @@ def approx_distinct_per_key(
         # One vectorized hash over the whole value column, then per-key
         # register updates over index slices — no per-row Python.
         uniq, runs = _key_runs(batch, key_col)
+        # NULLs are not values: count(DISTINCT x) ignores them in SQL, and
+        # hash64_column would otherwise fold null into the hash of 0
+        # (its fill_null sentinel is a JOIN contract, not a value one).
+        import pyarrow.compute as _pc
+
+        valid = _pc.is_valid(batch.column(value_col)).to_numpy(
+            zero_copy_only=False
+        )
         h = hash64_column(batch.column(value_col))
         blobs = []
         for rows in runs:
             hll = HyperLogLog(p)
-            hll.add_hashes(h[rows])
+            keep = rows[valid[rows]]
+            hll.add_hashes(h[keep])
             blobs.append(hll.to_bytes())
         return pa.table(
             {
@@ -89,11 +98,20 @@ def _sketch_per_key(ds, key_col, value_col, make_sketch, finalize_cols, use_hash
     (value-ascending add order)."""
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
         uniq, runs = _key_runs(batch, key_col)
+        # Same null contract as the HLL path: nulls are absent, not a
+        # sentinel value (a nullable int column also converts to
+        # float64-with-NaN, which would otherwise pollute counter keys).
+        valid = _pc.is_valid(batch.column(value_col)).to_numpy(
+            zero_copy_only=False
+        )
         vals = batch.column(value_col).to_numpy(zero_copy_only=False)
         h = hash64_column(batch.column(value_col)) if use_hash else None
         blobs = []
         for rows in runs:
+            rows = rows[valid[rows]]
             s = make_sketch()
             if use_hash:
                 s.add_hashed(vals[rows], h[rows])
