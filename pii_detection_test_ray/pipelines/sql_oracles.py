@@ -381,18 +381,29 @@ ORACLES: dict[str, str] = {
                ) AS BIGINT) AS cum_cents
         FROM events
     """,
-    # TRY_CAST mirrors the engine's only-integer-k contract: malformed
-    # JSON / non-integer k is absent on both sides, never an error.
+    # Double TRY_CAST mirrors the engine's only-integer-k contract:
+    # malformed JSON (json_extract would THROW on it), non-object values
+    # and non-integer k are all absent on both sides, never an error.
     "json_props_rollup": """
+        WITH j AS (
+            SELECT event_type,
+                   json_extract(TRY_CAST(props AS JSON), '$.k') AS jk
+            FROM events
+        ),
+        e AS (
+            -- json_type gates the integer-only contract: TRY_CAST(JSON AS
+            -- BIGINT) would round DOUBLEs and convert BOOLEANs.
+            SELECT event_type,
+                   CASE WHEN json_type(jk) IN ('UBIGINT', 'BIGINT')
+                        THEN TRY_CAST(jk AS BIGINT) END AS k
+            FROM j
+        )
         SELECT event_type,
-               CAST(sum(coalesce(
-                   TRY_CAST(json_extract(props, '$.k') AS BIGINT), 0))
-                    AS BIGINT) AS sum_k,
-               CAST(sum(CASE WHEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
-                                  IS NOT NULL
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+               CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k,
+               CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_k,
                CAST(count(*) AS BIGINT) AS n_events
-        FROM events
+        FROM e
         GROUP BY event_type
     """,
     "adaptive_quality_gate": """

@@ -195,3 +195,45 @@ class TestNullTextRows:
         assert rows[1]["fingerprint"] != rows[2]["fingerprint"]
         gop = {r["doc_id"]: r for r in QUERIES["gopher_repetition"](null_doc_dir).take_all()}
         assert gop[2]["n_tokens"] == 0 and gop[2]["keep_flag"] == 1
+import json, os
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_json_props_rollup_hostile_props(ray_session, tmp_path):
+    """Malformed / non-object / non-integer-k props are 'absent' on BOTH
+    engines (engine: guarded parse; oracle: TRY_CAST) — no crash, equal
+    rollups."""
+    duckdb = pytest.importorskip("duckdb")
+
+    from pii_detection_test_ray.pipelines.queries import q_json_props_rollup
+    from tools.check_correctness import compare, to_pandas
+    from pii_detection_test_ray.pipelines.sql_oracles import ORACLES as _O
+
+    props = [
+        '{"k": 3}', '{"k": "abc"}', '{"k": 12.7}', "[1]", "not json",
+        "", None, '{"other": 1}', '{"k": true}', '{"k": 4}',
+    ]
+    t = pa.table(
+        {
+            "event_type": pa.array(["x"] * len(props), pa.string()),
+            "props": pa.array(props, pa.string()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, str(sf / "events.parquet"))
+    got = to_pandas(q_json_props_rollup(str(sf)))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    sql_df = con.execute(_O["json_props_rollup"]).df()
+    problems = compare("json_props_rollup", got, sql_df)
+    assert not problems, problems
+    row = got.iloc[0]
+    assert row["n_with_k"] == 2 and row["sum_k"] == 7  # only the int ks

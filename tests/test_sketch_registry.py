@@ -198,3 +198,23 @@ class TestSketchVectorScalarAgreement:
 
         assert hash64_scalar(0.0) == hash64_scalar(-0.0)
         assert hash64_scalar(float("nan")) == hash64_scalar(float("nan"))
+
+
+def test_approx_distinct_ignores_nulls(ray_session):
+    """count(DISTINCT) semantics: NULL is not a value — and must not be
+    conflated with a genuine 0 (the join-hash sentinel)."""
+    import ray.data
+
+    from pii_detection_test_ray.stages.sketch_agg import approx_distinct_per_key
+
+    rows = (
+        [{"k": "a", "v": 0} for _ in range(10)]
+        + [{"k": "a", "v": None} for _ in range(10)]
+        + [{"k": "a", "v": 1} for _ in range(5)]
+        + [{"k": "b", "v": None} for _ in range(8)]
+    )
+    ds = ray.data.from_items(rows, override_num_blocks=3)
+    out = {r["k"]: r["approx_distinct"] for r in
+           approx_distinct_per_key(ds, "k", "v").take_all()}
+    assert out["a"] == 2  # {0, 1}; null is absent, not a third value
+    assert out["b"] == 0
