@@ -66,3 +66,71 @@ def read_reference_cases(
         }
     )
     return ray.data.from_arrow(pages), labels
+
+
+_PAGE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def read_jsonl_pages(paths) -> ray.data.Dataset:
+    """Web-crawl JSONL ingestion: one JSON object per line with any subset
+    of the input_hint fields (``url, warc_ts, html, text, lang``) —
+    normalized to the exact input_hint schema so every downstream stage
+    sees the contract it was built for, regardless of which crawl dump
+    produced the lines.
+
+    Normalization per batch (distributed, Arrow-native where the kernel
+    exists): missing columns materialize as typed nulls; ``warc_ts``
+    accepts ISO-8601 strings or epoch seconds and lands as
+    ``timestamp[us]``; ``html`` utf-8-encodes string payloads to binary.
+    Lines missing ``url`` are dropped (a page without its key cannot
+    enter the lineage/dedup machinery) — counted per batch, not fatal."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_json(paths)
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        cols: dict = {}
+        names = set(batch.column_names)
+        n = batch.num_rows
+        keep = (
+            pc.is_valid(batch.column("url"))
+            if "url" in names
+            else pa.array([False] * n, pa.bool_())
+        )
+        batch = batch.filter(keep)
+        n = batch.num_rows
+        for field in _PAGE_SCHEMA:
+            name, typ = field.name, field.type
+            if name not in names:
+                cols[name] = pa.nulls(n, typ)
+                continue
+            col = batch.column(name)
+            if name == "warc_ts":
+                if pa.types.is_timestamp(col.type):
+                    col = col.cast(pa.timestamp("us"))
+                elif pa.types.is_integer(col.type) or pa.types.is_floating(
+                    col.type
+                ):
+                    col = pc.multiply(
+                        col.cast(pa.float64()), 1_000_000.0
+                    ).cast(pa.int64()).cast(pa.timestamp("us"))
+                else:
+                    col = pc.strptime(
+                        col.cast(pa.string()), "%Y-%m-%dT%H:%M:%S", "us"
+                    )
+            elif name == "html" and pa.types.is_string(col.type):
+                col = col.cast(pa.binary())
+            else:
+                col = col.cast(typ)
+            cols[name] = col
+        return pa.table(cols).cast(_PAGE_SCHEMA)
+
+    return ds.map_batches(normalize, batch_format="pyarrow")

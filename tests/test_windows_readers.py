@@ -166,3 +166,42 @@ def test_distributed_pipeline_reproduces_reference_detector(ray_session):
             if got != expected[cat]:
                 mismatches.append((row["url"], cat))
     assert mismatches == []
+
+
+def test_read_jsonl_pages_normalizes_to_input_hint(ray_session, tmp_path):
+    """Crawl-dump JSONL with missing/variant fields lands as the exact
+    input_hint schema and flows through the flagship pipeline."""
+    import json
+
+    import pyarrow as pa
+
+    from pii_detection_test_ray.sources.readers import read_jsonl_pages
+
+    # Types are consistent WITHIN a file (what real crawl dumps look like;
+    # Arrow JSON inference requires it) but differ ACROSS files.
+    iso_lines = [
+        {"url": "https://a.com/1", "warc_ts": "2024-03-01T10:00:00",
+         "html": "<html><body>hello one</body></html>", "lang": "en",
+         "text": "hello one"},
+        {"url": "https://a.com/3"},                       # bare url
+        {"text": "no url — dropped"},
+    ]
+    epoch_lines = [
+        {"url": "https://a.com/2", "warc_ts": 1709287200,
+         "text": "text only page"},                      # no html, epoch ts
+    ]
+    p1 = tmp_path / "pages_iso.jsonl"
+    p1.write_text("\n".join(json.dumps(l) for l in iso_lines))
+    p2 = tmp_path / "pages_epoch.jsonl"
+    p2.write_text("\n".join(json.dumps(l) for l in epoch_lines))
+    ds = read_jsonl_pages(str(p1)).union(read_jsonl_pages(str(p2)))
+    blocks = [b for b in ray.get(ds.to_arrow_refs()) if b.num_rows]
+    t = pa.concat_tables(blocks)
+    assert t.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+    assert str(t.schema.field("warc_ts").type) == "timestamp[us]"
+    assert str(t.schema.field("html").type) == "binary"
+    assert t.num_rows == 3  # url-less line dropped
+    rows = {r["url"]: r for r in t.to_pylist()}
+    assert rows["https://a.com/1"]["html"].startswith(b"<html>")
+    assert rows["https://a.com/2"]["warc_ts"].year == 2024
+    assert rows["https://a.com/3"]["text"] is None
