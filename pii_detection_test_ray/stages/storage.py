@@ -112,3 +112,32 @@ def _first_bucket_dir(path: str) -> str:
         if name.startswith("__bucket="):
             return os.path.join(path, name)
     raise FileNotFoundError(f"no bucket partitions under {path}")
+
+
+def compact_parquet(
+    input_dir: str,
+    output_dir: str,
+    target_mb: int = 256,
+) -> dict:
+    """Small-file compaction: rewrite a directory of parquet shards into
+    ~``target_mb`` files — the storage-maintenance pass a long-lived
+    corpus store needs after many incremental appends (metadata pressure
+    and per-file open costs grow with file count; readers want few large
+    row groups). Streaming read → size-derived repartition → write; rows
+    never touch the driver. Returns {files_in, files_out, rows}."""
+    files = [
+        os.path.join(input_dir, f)
+        for f in sorted(os.listdir(input_dir))
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        raise ValueError(f"no parquet shards under {input_dir!r}")
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    num_out = max(1, round(total_bytes / (target_mb << 20)))
+    ds = ray.data.read_parquet(files)
+    n_rows = ds.count()
+    ds.repartition(num_out).write_parquet(output_dir)
+    files_out = len(
+        [f for f in os.listdir(output_dir) if f.endswith(".parquet")]
+    )
+    return {"files_in": len(files), "files_out": files_out, "rows": n_rows}

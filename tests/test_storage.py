@@ -144,3 +144,28 @@ def test_bucketed_join_matches_duckdb_on_tpch_slice(ray_session, tmp_path):
         ).fetchall()
     )
     assert got == expected
+
+
+def test_compact_parquet_preserves_rows(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pii_detection_test_ray.stages.storage import compact_parquet
+
+    src = tmp_path / "many"
+    src.mkdir()
+    for i in range(20):  # 20 crumb files
+        pq.write_table(
+            pa.table({"k": list(range(i * 10, i * 10 + 10))}),
+            str(src / f"part-{i:03d}.parquet"),
+        )
+    out = tmp_path / "compact"
+    stats = compact_parquet(str(src), str(out), target_mb=256)
+    assert stats["files_in"] == 20 and stats["rows"] == 200
+    assert stats["files_out"] < 20
+    got = sorted(
+        v
+        for f in out.glob("*.parquet")
+        for v in pq.read_table(str(f)).column("k").to_pylist()
+    )
+    assert got == list(range(200))
