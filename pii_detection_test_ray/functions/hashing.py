@@ -156,6 +156,7 @@ def blake64(data: str | bytes) -> int:
 def text_fingerprint(text: str, normalize: bool = True) -> str:
     """Exact-dedup key: blake2b hex of (optionally whitespace/case
     normalized) text."""
+    text = text or ""  # null text behaves as empty (repo-wide invariant)
     if normalize:
         text = " ".join(text.lower().split())
     return hashlib.blake2b(text.encode("utf-8"), digest_size=16).hexdigest()
@@ -176,6 +177,7 @@ def text_fingerprint_md5(text: str) -> str:
     ``md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g'))`` on ANY
     input (explicit ASCII-space trim, RE2 ASCII \\s, no case folding —
     Unicode lower() is engine-dependent)."""
+    text = text or ""  # null text behaves as empty (repo-wide invariant)
     normalized = _ASCII_WS_RUN.sub(" ", text.strip(" "))
     return hashlib.md5(normalized.encode("utf-8")).hexdigest()
 
@@ -184,6 +186,7 @@ def rolling_fingerprint(text: str, window: int = 64, base: int = 257) -> int:
     """Polynomial rolling-hash document fingerprint: XOR of the per-window
     rolling hashes sampled where hash % 16 == 0 (winnowing-style selection),
     folded to 64 bits. Cheap, order-sensitive, deterministic."""
+    text = text or ""  # null text behaves as empty (repo-wide invariant)
     data = text.encode("utf-8")
     if len(data) <= window:
         return blake64(data)
@@ -200,6 +203,7 @@ def rolling_fingerprint(text: str, window: int = 64, base: int = 257) -> int:
 
 
 def word_tokens(text: str) -> list[str]:
+    text = text or ""  # null text behaves as empty (repo-wide invariant)
     return _WORD_RE.findall(text.lower())
 
 
@@ -211,6 +215,7 @@ def word_ngrams(text: str, n: int = 3) -> list[str]:
 
 
 def char_shingles(text: str, k: int = 5) -> list[str]:
+    text = text or ""  # null text behaves as empty (repo-wide invariant)
     s = " ".join(text.lower().split())
     if len(s) <= k:
         return [s] if s else []
@@ -292,6 +297,7 @@ def jaccard(a: set, b: set) -> float:
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over word tokens (term-frequency weighted)."""
+    text = text or ""  # null text behaves as empty (repo-wide invariant)
     toks = word_tokens(text)
     if not toks:
         return 0

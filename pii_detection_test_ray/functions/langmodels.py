@@ -222,6 +222,7 @@ class CharTrigramLM:
 
     def log_perplexity(self, text: str) -> float:
         """Average negative log2 probability per character (bits/char)."""
+        text = text or ""  # null text behaves as empty
         if not text:
             return 0.0
         return -self.logprob(text) / len(text)
@@ -236,6 +237,7 @@ class CharNgramLangID:
 
     def classify(self, text: str) -> tuple[str, float]:
         """Returns (language, confidence in [0, 1])."""
+        text = text or ""  # null text behaves as empty
         if not text.strip():
             return "und", 0.0
         hangul, cjk = script_ratios(text)

@@ -228,6 +228,7 @@ def detect_pii(text: str) -> tuple[dict[str, list[str] | None], list[PiiSpan]]:
     ``None``) — byte-identical to the reference detector's output — and
     ``spans`` lists every accepted match occurrence for the scrubber.
     """
+    text = text or ""  # null text behaves as empty (repo-wide invariant)
     out = _Collector()
 
     # Anchor pre-guards: each skipped pattern literally requires the guard
@@ -404,5 +405,6 @@ def scrub_text(text: str, spans: list[PiiSpan]) -> str:
 
 def detect_and_scrub(text: str) -> tuple[dict[str, list[str] | None], str, int]:
     """One-pass convenience: returns (values, scrubbed_text, n_spans)."""
+    text = text or ""  # null text behaves as empty (repo-wide invariant)
     values, spans = detect_pii(text)
     return values, scrub_text(text, spans), len(spans)

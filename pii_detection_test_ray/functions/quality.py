@@ -60,6 +60,7 @@ def tokenize_ws(text: str) -> list[str]:
     ``[ \\t\\n\\r\\f]`` — NOT Python ``str.split()``'s Unicode set (NBSP /
     U+3000 / VT are token characters on both engines). Empty and
     whitespace-only text yield []."""
+    text = text or ""  # null text behaves as empty (repo-wide invariant)
     return _TOKEN_RUN.findall(text)
 
 
@@ -70,6 +71,7 @@ def token_count(text: str) -> int:
 def symbol_ratio(text: str) -> float:
     """Fraction of characters that are neither alphanumeric (any script)
     nor whitespace. 0.0 for empty text."""
+    text = text or ""  # null text behaves as empty (repo-wide invariant)
     if not text:
         return 0.0
     symbols = sum(1 for ch in text if not (ch.isalnum() or ch.isspace()))
@@ -78,6 +80,7 @@ def symbol_ratio(text: str) -> float:
 
 def distinct_word_ratio(text: str) -> float:
     """|distinct tokens| / |tokens|; 1.0 for empty text (no repetition)."""
+    text = text or ""  # null text behaves as empty (repo-wide invariant)
     toks = tokenize_ws(text)
     if not toks:
         return 1.0
@@ -86,6 +89,7 @@ def distinct_word_ratio(text: str) -> float:
 
 def duplicate_line_ratio(text: str) -> float:
     """Fraction of non-blank lines that are repeats of an earlier line."""
+    text = text or ""  # null text behaves as empty (repo-wide invariant)
     lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
     if not lines:
         return 0.0
@@ -106,6 +110,7 @@ def token_count_bpe(text: str) -> int:
     """BPE-ish token count: the pre-tokenization granularity LLM token
     budgets are estimated at (≈ tokens before merges). SQL-verifiable via
     DuckDB regexp_extract_all with the identical pattern."""
+    text = text or ""  # null text behaves as empty (repo-wide invariant)
     return len(BPE_TOKEN_RE.findall(text))
 
 
@@ -125,6 +130,7 @@ def repetition_signals(text: str) -> tuple[int, int, int, int]:
       (≤ 10% duplicate 3-grams): integer cross-multiplied thresholds, no
       float division anywhere.
     """
+    text = text or ""  # null text behaves as empty (repo-wide invariant)
     toks = _TOKEN_RUN.findall(text)
     n = len(toks)
     c2: dict[str, int] = {}
@@ -161,6 +167,7 @@ def dedup_lines(text: str) -> tuple[str, int]:
     paragraph structure. Returns ``(clean_text, n_removed)``. Semantics are
     SQL-expressible (DuckDB ``list_filter`` + ``list_position`` + ``trim``
     with the same charlist), so the corresponding query is oracle-paired."""
+    text = text or ""  # null text behaves as empty (repo-wide invariant)
     lines = text.split("\n")
     out = []
     seen: set[str] = set()
@@ -173,6 +180,7 @@ def dedup_lines(text: str) -> tuple[str, int]:
 
 def quality_features(text: str) -> dict[str, float]:
     """All stateless quality features for one document."""
+    text = text or ""  # null text behaves as empty (repo-wide invariant)
     from .toxicity import toxicity_score
 
     return {

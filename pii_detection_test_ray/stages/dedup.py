@@ -642,6 +642,14 @@ def embedding_duplicate_pairs(
     planes = rng.randn(n_planes, dim).astype(np.float64)
 
     def emit_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    id_col: batch.column(id_col),
+                    "unit": pa.array([], pa.list_(pa.float64())),
+                }
+            )
         vecs = _as_matrix(batch.column(vec_col))
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0

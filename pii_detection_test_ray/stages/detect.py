@@ -33,6 +33,7 @@ def pii_scrub_batch(batch: pa.Table) -> pa.Table:
     span_counts: list[int] = []
     toxic_counts: list[int] = []
     for text in batch.column("text").to_pylist():
+        text = text or ""  # null text behaves as empty (repo-wide invariant)
         values, spans = detect_pii(text)
         for cat in PII_CATEGORIES:
             per_cat[cat].append(values[cat])

@@ -25,6 +25,10 @@ def _as_matrix(col) -> np.ndarray:
     only for ragged rows."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0:
+        # Empty blocks reach UDFs after upstream filters; a (0, 0) matrix
+        # keeps axis-1 kernels (norms, matmuls) well-defined downstream.
+        return np.zeros((0, 0), dtype=np.float64)
     try:
         import pyarrow.compute as pc
 
@@ -82,6 +86,14 @@ def knn_brute_force(
     q_ref = ray.put(q_unit)
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty blocks reach UDFs after filters
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: batch.column(id_col),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         q = ray.get(q_ref)
         ids = np.asarray(batch.column(id_col).to_pylist())
         vecs = _normalize(_as_matrix(batch.column(vec_col)))
@@ -151,6 +163,14 @@ def embedding_clusters(
     ref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "cluster": pa.array([], pa.int64()),
+                    "centroid_sim": pa.array([], pa.float64()),
+                }
+            )
         cents = ray.get(ref)
         vecs = _normalize(_as_matrix(batch.column(vec_col)))
         sims = vecs @ cents.T
@@ -191,6 +211,14 @@ def knn_ivf(
     state = ray.put((q_unit, centroids, probed))
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: batch.column(id_col),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         q, cents, probe = ray.get(state)
         ids = np.asarray(batch.column(id_col).to_pylist())
         vecs = _normalize(_as_matrix(batch.column(vec_col)))

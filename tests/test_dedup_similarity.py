@@ -386,3 +386,25 @@ def test_jaccard_pairs_exact_df_cap_drops_boilerplate(ray_session):
     # Boilerplate grams have df=12 > 4 → capped; the only surviving route
     # to a pair is the rare duplicated sentence.
     assert got == {(100, 101)}
+
+
+def test_embedding_operators_survive_empty_blocks(ray_session):
+    """Empty blocks (upstream filters produce them) must not crash the
+    embedding operators — round-3 review found _as_matrix yielded 1-D
+    empties that broke every axis-1 kernel."""
+    import numpy as np
+
+    from pii_detection_test_ray.stages.dedup import embedding_duplicate_pairs
+    from pii_detection_test_ray.stages.similarity import (
+        embedding_clusters,
+        knn_brute_force,
+    )
+
+    rows = _embedding_rows(n=40, dim=16)
+    ds = ray.data.from_items(rows, override_num_blocks=3).filter(
+        lambda r: r["vec_id"] < 20  # later blocks become empty
+    )
+    queries = np.asarray([rows[0]["embedding"]])
+    assert len(knn_brute_force(ds, queries, k=3).take_all()) == 3
+    assert embedding_clusters(ds, n_clusters=2).count() > 0
+    embedding_duplicate_pairs(ds, dim=16, threshold=0.99).count()  # no crash

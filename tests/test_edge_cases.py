@@ -237,3 +237,35 @@ def test_json_props_rollup_hostile_props(ray_session, tmp_path):
     assert not problems, problems
     row = got.iloc[0]
     assert row["n_with_k"] == 2 and row["sum_k"] == 7  # only the int ks
+
+
+def test_null_text_rows_survive_every_stage(ray_session):
+    """A NULL text row (routine in real crawl parquet) must behave as an
+    empty string through EVERY text stage — not just the ones guarded in
+    round 2 (textstats/langid/detect/quality_gate were latent crashes)."""
+    import pyarrow as pa
+    import ray.data
+
+    from pii_detection_test_ray.stages.detect import pii_scrub_batch
+    from pii_detection_test_ray.stages.langid import LangIdBatcher
+    from pii_detection_test_ray.stages.quality_gate import quality_features_batch
+    from pii_detection_test_ray.stages.textstats import textstats_batch
+
+    rows = [
+        {"url": "u1", "text": "담당자: 박서연 (010-9999-8888) normal row"},
+        {"url": "u2", "text": None},
+        {"url": "u3", "text": ""},
+    ]
+    ds = ray.data.from_items(rows, override_num_blocks=2)
+
+    out = ds.map_batches(
+        quality_features_batch, batch_format="pyarrow"
+    ).map_batches(LangIdBatcher(), batch_format="pyarrow").map_batches(
+        pii_scrub_batch, batch_format="pyarrow"
+    ).map_batches(textstats_batch, batch_format="pyarrow").take_all()
+    by_url = {r["url"]: r for r in out}
+    assert len(out) == 3
+    assert by_url["u1"]["n_pii_spans"] >= 2  # detection still fires
+    for u in ("u2", "u3"):  # null ≡ empty
+        assert by_url[u]["q_n_chars"] == 0
+        assert by_url[u]["n_pii_spans"] == 0
