@@ -334,3 +334,24 @@ def bucket_ids_multi(columns, num_buckets: int) -> "np.ndarray":
     for col in it:
         h = _splitmix64(h ^ hash64_column(col))
     return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def sorted_codes(col) -> "np.ndarray":
+    """0-based dense-rank codes of an Arrow column: order-isomorphic to the
+    values with nulls grouped FIRST (SQL GROUP BY semantics) — the shared
+    factorize of every bucketed window/keep-min operator. Replaces
+    ``np.unique(col.to_numpy(...), return_inverse=True)``, which raised on
+    null strings and, worse, silently coerced an int64 column containing
+    one null to float64 — collapsing distinct ids above 2^53."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = pa.array(col)
+    r = _pc.rank(
+        col,
+        sort_keys="ascending",
+        null_placement="at_start",
+        tiebreaker="dense",
+    )
+    return (r.to_numpy(zero_copy_only=False) - 1).astype(np.int64)

@@ -555,8 +555,6 @@ def ngram_jaccard_pairs(
     Worst-case shuffle volume is now ids+signatures for the bands plus
     2× corpus text for the joins (at most — the join router broadcasts a
     small text side instead), independent of num_bands."""
-    from ray.data.aggregate import Count
-
     from .joins import hash_join
 
     bands = ds.map_batches(
@@ -731,8 +729,6 @@ def jaccard_pairs_exact(
     risk as the decontamination index (divergence from the string-gram
     oracle IS a collision)."""
     import pandas as pd
-
-    from ray.data.aggregate import Count, Min
 
     from ..functions.quality import tokenize_ws
 

@@ -336,8 +336,18 @@ def _bucketed_membership_join(
         is_key = group.column("__is_key")
         key_rows = group.filter(is_key)
         data_rows = group.filter(pc.invert(is_key))
-        member = pc.is_in(
-            data_rows.column(key_col), value_set=key_rows.column(key_col).combine_chunks()
+        # skip_nulls: a null in the key SET must not make null probes
+        # members (Arrow's default null-matching is MATCH — SQL semi/anti
+        # say NULL keys never match).
+        member = pc.fill_null(
+            pc.is_in(
+                data_rows.column(key_col),
+                options=pc.SetLookupOptions(
+                    value_set=key_rows.column(key_col).combine_chunks(),
+                    skip_nulls=True,
+                ),
+            ),
+            False,
         )
         mask = pc.invert(member) if anti else member
         return data_rows.filter(mask).select(big_cols)
@@ -469,7 +479,10 @@ def _membership_filter(
 
     def keep(batch: pa.Table) -> pa.Table:
         value_set = ray.get(key_ref)
-        member = pc.is_in(batch.column(key_col), value_set=value_set)
+        member = pc.is_in(
+            batch.column(key_col),
+            options=pc.SetLookupOptions(value_set=value_set, skip_nulls=True),
+        )
         member = pc.fill_null(member, False)
         return batch.filter(pc.invert(member) if anti else member)
 

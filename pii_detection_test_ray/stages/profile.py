@@ -1,6 +1,12 @@
-"""One-pass distributed table profiling: per-column row/null counts,
-min/max, and approximate distinct cardinality — the data-quality summary
-every ingestion pipeline runs before trusting a new drop of data.
+"""Distributed table profiling: per-column row/null counts, min/max,
+and approximate distinct cardinality — the data-quality summary every
+ingestion pipeline runs before trusting a new drop of data.
+
+Two bounded scans of the SOURCE (not one): the partials pass folds
+nulls + HLL registers, and a typed ``ds.aggregate`` computes min/max
+(folding rendered strings would order numerics lexicographically).
+Profile a table or checkpoint, not an expensive lazy lineage — each
+scan re-executes it.
 
 Plan shape: per-batch partials compute every column's stats in one pass
 over the batch (Arrow kernels for nulls/min/max, one vectorized HLL
@@ -26,7 +32,8 @@ def profile_table(
     hll_precision: int = 12,
 ) -> pa.Table:
     """(column, n_rows, n_nulls, n_distinct_approx, min_value, max_value)
-    — one row per profiled column, exact except the HLL distinct."""
+    — one row per profiled column, exact except the HLL distinct. Reads
+    the source twice (see module docstring)."""
     from ..functions.hashing import hash64_column
 
     schema = ds.schema()

@@ -25,7 +25,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Sum
 
 
 def partial_groupby_sum(
@@ -154,12 +153,12 @@ def _keep_min_bucketed(
         n = group.num_rows
         if n == 0:
             return group
-        codes = []
-        for c in group_cols:
-            vals = group.column(c).to_numpy(zero_copy_only=False)
-            codes.append(np.unique(vals, return_inverse=True)[1])
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        _, id_code = np.unique(ids, return_inverse=True)
+        from ..functions.hashing import sorted_codes
+
+        # Dense-rank codes: null-safe (nulls group together, SQL-style)
+        # and no float64 coercion of int64 keys containing a null.
+        codes = [sorted_codes(group.column(c)) for c in group_cols]
+        id_code = sorted_codes(group.column(id_col))
         order = np.lexsort((id_code, *reversed(codes)))
         starts = np.zeros(n, dtype=bool)
         starts[0] = True

@@ -20,15 +20,22 @@ from ..functions.sketches import HashSampleQuantile, HyperLogLog, MisraGries
 
 
 def _key_runs(batch: pa.Table, key_col: str):
-    """Factorize the key column and yield (unique_keys, list of row-index
-    slices) so per-key sketching runs over numpy slices, not a per-row
-    Python dict loop."""
-    keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-    uniq, inv = np.unique(keys, return_inverse=True)
+    """Factorize the key column and yield (unique_keys: pa.Array, list of
+    row-index slices) so per-key sketching runs over numpy slices, not a
+    per-row Python dict loop. Dense-rank codes keep null / huge-int keys
+    exact (np.unique coerced and crashed on them)."""
+    from ..functions.hashing import sorted_codes
+
+    if batch.num_rows == 0:
+        return batch.column(key_col), []
+    inv = sorted_codes(batch.column(key_col))
     order = np.argsort(inv, kind="stable")
     inv_s = inv[order]
     bounds = np.flatnonzero(np.r_[True, inv_s[1:] != inv_s[:-1], True])
     runs = [order[s:e] for s, e in zip(bounds[:-1], bounds[1:])]
+    uniq = batch.column(key_col).take(
+        pa.array(order[bounds[:-1]], pa.int64())
+    )
     return uniq, runs
 
 
@@ -61,7 +68,7 @@ def approx_distinct_per_key(
             blobs.append(hll.to_bytes())
         return pa.table(
             {
-                key_col: pa.array(uniq),
+                key_col: uniq,
                 "sketch": pa.array(blobs, pa.binary()),
             }
         )
@@ -122,7 +129,7 @@ def _sketch_per_key(ds, key_col, value_col, make_sketch, finalize_cols, use_hash
             blobs.append(pickle.dumps(s))
         return pa.table(
             {
-                key_col: pa.array(uniq),
+                key_col: uniq,
                 "sketch": pa.array(blobs, pa.binary()),
             }
         )

@@ -21,7 +21,28 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Sum
+
+
+def _finalize_window_agg(agg: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Shared post-aggregate finalizer for the window operators: re-cast
+    window_start to timestamp[us] AFTER the exchange (it may re-infer at
+    seconds precision; DuckDB date_trunc/time_bucket are [us] and the
+    driver's value hash is dtype-sensitive) and rename the value sum."""
+
+    def clean(batch: pa.Table) -> pa.Table:
+        batch = batch.set_column(
+            batch.column_names.index("window_start"),
+            "window_start",
+            pc.cast(batch.column("window_start"), pa.timestamp("us")),
+        )
+        return batch.rename_columns(
+            [
+                {"value_micros": "total_value_micros"}.get(c, c)
+                for c in batch.column_names
+            ]
+        )
+
+    return agg.map_batches(clean, batch_format="pyarrow")
 
 
 def tumbling_window_agg(
@@ -71,23 +92,7 @@ def tumbling_window_agg(
         count_as="n_events",
     )
 
-    def clean(batch: pa.Table) -> pa.Table:
-        # Re-cast AFTER the aggregate: the exchange may re-infer the key
-        # column at seconds precision, but DuckDB's date_trunc is TIMESTAMP
-        # (us) and the driver's value hash is dtype-sensitive.
-        batch = batch.set_column(
-            batch.column_names.index("window_start"),
-            "window_start",
-            pc.cast(batch.column("window_start"), pa.timestamp("us")),
-        )
-        return batch.rename_columns(
-            [
-                {"value_micros": "total_value_micros"}.get(c, c)
-                for c in batch.column_names
-            ]
-        )
-
-    return agg.map_batches(clean, batch_format="pyarrow")
+    return _finalize_window_agg(agg)
 
 
 def sessionize(
@@ -115,12 +120,16 @@ def sessionize(
         return batch.append_column("__bucket", pa.array(b, pa.int32()))
 
     def per_bucket(group: pa.Table) -> pa.Table:
-        keys = group.column(key_col).to_numpy(zero_copy_only=False)
+        from ..functions.hashing import sorted_codes
+
         ts = (
             pc.cast(pc.cast(group.column(ts_col), pa.timestamp("us")), pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        _, first_idx, code = np.unique(keys, return_index=True, return_inverse=True)
+        # Dense-rank codes: null-safe, no float64 coercion of int keys
+        # (np.unique collapsed distinct ids > 2^53 when a null was present).
+        code = sorted_codes(group.column(key_col))
+        _, first_idx = np.unique(code, return_index=True)
         order = np.lexsort((ts, code))
         c_s, t_s = code[order], ts[order]
         new_key = np.r_[True, c_s[1:] != c_s[:-1]]
@@ -172,14 +181,14 @@ def top_k_per_group(
 
     def per_bucket(group: pa.Table) -> pa.Table:
         n = group.num_rows
-        keys = group.column(group_col).to_numpy(zero_copy_only=False)
-        order_vals = group.column(order_col).to_numpy(zero_copy_only=False)
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        _, code = np.unique(keys, return_inverse=True)
-        # Codes are order-isomorphic to values (np.unique sorts), so
-        # code-level comparison == value-level comparison for any dtype.
-        _, o_code = np.unique(order_vals, return_inverse=True)
-        _, i_code = np.unique(ids, return_inverse=True)
+        from ..functions.hashing import sorted_codes
+
+        # Dense-rank codes are order-isomorphic to values (nulls first),
+        # so code-level comparison == value-level comparison for any dtype
+        # — including null strings and int64 ids beyond 2^53.
+        code = sorted_codes(group.column(group_col))
+        o_code = sorted_codes(group.column(order_col))
+        i_code = sorted_codes(group.column(id_col))
         ordkey = -o_code if descending else o_code
         sort_idx = np.lexsort((i_code, ordkey, code))
         c_s = code[sort_idx]
@@ -230,14 +239,15 @@ def running_totals(
 
     def per_bucket(group: pa.Table) -> pa.Table:
         n = group.num_rows
-        keys = group.column(key_col).to_numpy(zero_copy_only=False)
         ts = (
             pc.cast(pc.cast(group.column(ts_col), pa.timestamp("us")), pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        from ..functions.hashing import sorted_codes
+
+        ids = sorted_codes(group.column(id_col))
         vals = group.column(val_col).to_numpy(zero_copy_only=False)
-        _, code = np.unique(keys, return_inverse=True)
+        code = sorted_codes(group.column(key_col))
         order = np.lexsort((ids, ts, code))
         c_s = code[order]
         v_s = vals[order]
@@ -320,17 +330,4 @@ def hopping_window_agg(
         count_as="n_events",
     )
 
-    def clean(batch: pa.Table) -> pa.Table:
-        batch = batch.set_column(
-            batch.column_names.index("window_start"),
-            "window_start",
-            pc.cast(batch.column("window_start"), pa.timestamp("us")),
-        )
-        return batch.rename_columns(
-            [
-                {"value_micros": "total_value_micros"}.get(c, c)
-                for c in batch.column_names
-            ]
-        )
-
-    return agg.map_batches(clean, batch_format="pyarrow")
+    return _finalize_window_agg(agg)

@@ -337,3 +337,28 @@ def test_bloom_filter_no_false_negatives(ray_session):
         mask = bf.contains_column(pa.array(probes))
         member = np.array([p in set(vals) for p in probes])
         assert mask[member].all()  # no false negatives
+
+
+def test_membership_joins_null_key_semantics(ray_session):
+    """SQL semi/anti: a NULL key is never a member — even when the key
+    side itself contains NULLs (Arrow's is_in default would call that a
+    match; round-3 review)."""
+    from pii_detection_test_ray.stages.joins import (
+        anti_join_filter,
+        bucketed_anti_join,
+        bucketed_semi_join,
+        semi_join_filter,
+    )
+
+    rows = [{"id": 0, "key": 1}, {"id": 1, "key": None}, {"id": 2, "key": 3}]
+    ds = ray.data.from_items(rows, override_num_blocks=2)
+    keys_ds = ray.data.from_items(
+        [{"fk": 1}, {"fk": None}], override_num_blocks=1
+    )
+    semi = sorted(r["id"] for r in bucketed_semi_join(ds, keys_ds, "key", keys_col="fk", num_buckets=2).take_all())
+    anti = sorted(r["id"] for r in bucketed_anti_join(ds, keys_ds, "key", keys_col="fk", num_buckets=2).take_all())
+    assert semi == [0]          # null-key row is NOT a member
+    assert anti == [1, 2]       # ...and survives the anti join
+    # broadcast variants agree
+    assert sorted(r["id"] for r in semi_join_filter(ds, {1, None}, "key").take_all()) == [0]
+    assert sorted(r["id"] for r in anti_join_filter(ds, {1, None}, "key").take_all()) == [1, 2]
