@@ -68,6 +68,31 @@ def read_reference_cases(
     return ray.data.from_arrow(pages), labels
 
 
+def _parse_ts_strings(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Lenient ISO-8601-ish parse for crawl-dump timestamps: tries several
+    formats (naive ISO, trailing 'Z', numeric UTC offset via %z, space
+    separator, WARC 14-digit) and nulls whatever none of them match —
+    unparseable timestamps drop the FIELD, never the task. Fractional
+    seconds are stripped first (Arrow strptime has no %f); offset-bearing
+    strings normalize to the UTC instant then land naive like the rest."""
+    import pyarrow.compute as pc
+
+    s = pc.replace_substring_regex(col, r"\.[0-9]+", "")
+    out = None
+    for fmt, tz_aware in [
+        ("%Y-%m-%dT%H:%M:%S", False),
+        ("%Y-%m-%dT%H:%M:%SZ", False),
+        ("%Y-%m-%dT%H:%M:%S%z", True),
+        ("%Y-%m-%d %H:%M:%S", False),
+        ("%Y%m%d%H%M%S", False),
+    ]:
+        cand = pc.strptime(s, format=fmt, unit="us", error_is_null=True)
+        if tz_aware:
+            cand = cand.cast(pa.timestamp("us"))
+        out = cand if out is None else pc.coalesce(out, cand)
+    return out
+
+
 _PAGE_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
@@ -119,13 +144,14 @@ def read_jsonl_pages(paths) -> ray.data.Dataset:
                 elif pa.types.is_integer(col.type) or pa.types.is_floating(
                     col.type
                 ):
-                    col = pc.multiply(
-                        col.cast(pa.float64()), 1_000_000.0
-                    ).cast(pa.int64()).cast(pa.timestamp("us"))
+                    # Sub-second epoch fractions: round to whole µs before the
+                    # int64 cast (Arrow refuses truncating float casts) and
+                    # null non-finite values instead of raising.
+                    us = pc.round(pc.multiply(col.cast(pa.float64()), 1e6))
+                    us = pc.if_else(pc.is_finite(us), us, pa.scalar(None, pa.float64()))
+                    col = us.cast(pa.int64()).cast(pa.timestamp("us"))
                 else:
-                    col = pc.strptime(
-                        col.cast(pa.string()), "%Y-%m-%dT%H:%M:%S", "us"
-                    )
+                    col = _parse_ts_strings(col.cast(pa.string()))
             elif name == "html" and pa.types.is_string(col.type):
                 col = col.cast(pa.binary())
             else:

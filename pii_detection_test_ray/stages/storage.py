@@ -97,14 +97,41 @@ def join_bucketed(
             rt = rt if rt is not None else pq.read_table(
                 _first_bucket_dir(right_path)
             ).slice(0, 0)
-            return lt.slice(0, 0).join(
-                rt.slice(0, 0), keys=[key], join_type="inner"
-            )
+            lt, rt = _align_key_types(lt.slice(0, 0), rt.slice(0, 0), key)
+            return lt.join(rt, keys=[key], join_type="inner")
         # pyarrow defaults to LEFT OUTER; this operator is an inner join.
+        lt, rt = _align_key_types(lt, rt, key)
         return lt.join(rt, keys=[key], join_type="inner")
 
     refs = [join_one.remote(b) for b in range(num_buckets)]
     return ray.data.from_arrow_refs(refs)
+
+
+def _align_key_types(lt: pa.Table, rt: pa.Table, key: str) -> tuple[pa.Table, pa.Table]:
+    """Cast both sides' key column to one canonical type before the Arrow
+    join. ``bucket_ids`` normalizes integer widths / temporal precisions so
+    an int32 key co-BUCKETS with an int64 one, but ``pa.Table.join`` still
+    requires equal key types — this closes that gap (int→int64,
+    temporal→timestamp[us]); genuinely incompatible families still raise."""
+    lf, rf = lt.schema.field(key).type, rt.schema.field(key).type
+    if lf == rf:
+        return lt, rt
+    if pa.types.is_integer(lf) and pa.types.is_integer(rf):
+        canon = pa.int64()
+    elif (pa.types.is_timestamp(lf) or pa.types.is_date(lf)) and (
+        pa.types.is_timestamp(rf) or pa.types.is_date(rf)
+    ):
+        canon = pa.timestamp("us")
+    else:
+        raise ValueError(
+            f"join key {key!r} has incompatible types: left={lf} right={rf}"
+        )
+
+    def recast(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(key)
+        return t.set_column(i, key, t.column(key).cast(canon))
+
+    return recast(lt), recast(rt)
 
 
 def _first_bucket_dir(path: str) -> str:
@@ -123,21 +150,25 @@ def compact_parquet(
     ~``target_mb`` files — the storage-maintenance pass a long-lived
     corpus store needs after many incremental appends (metadata pressure
     and per-file open costs grow with file count; readers want few large
-    row groups). Streaming read → size-derived repartition → write; rows
-    never touch the driver. Returns {files_in, files_out, rows}."""
-    files = [
-        os.path.join(input_dir, f)
-        for f in sorted(os.listdir(input_dir))
+    row groups). Discovery is recursive (nested / Hive-partitioned shards
+    included); the input is scanned exactly ONCE — the row count comes
+    from the written output's parquet footers, not a pre-count pass.
+    Returns {files_in, files_out, rows}."""
+    files = sorted(
+        os.path.join(root, f)
+        for root, _dirs, names in os.walk(input_dir)
+        for f in names
         if f.endswith(".parquet")
-    ]
+    )
     if not files:
         raise ValueError(f"no parquet shards under {input_dir!r}")
     total_bytes = sum(os.path.getsize(f) for f in files)
     num_out = max(1, round(total_bytes / (target_mb << 20)))
-    ds = ray.data.read_parquet(files)
-    n_rows = ds.count()
-    ds.repartition(num_out).write_parquet(output_dir)
-    files_out = len(
-        [f for f in os.listdir(output_dir) if f.endswith(".parquet")]
-    )
-    return {"files_in": len(files), "files_out": files_out, "rows": n_rows}
+    ray.data.read_parquet(files).repartition(num_out).write_parquet(output_dir)
+    out_files = [
+        os.path.join(output_dir, f)
+        for f in os.listdir(output_dir)
+        if f.endswith(".parquet")
+    ]
+    n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in out_files)
+    return {"files_in": len(files), "files_out": len(out_files), "rows": n_rows}

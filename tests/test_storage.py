@@ -146,6 +146,27 @@ def test_bucketed_join_matches_duckdb_on_tpch_slice(ray_session, tmp_path):
     assert got == expected
 
 
+def test_join_bucketed_cross_width_keys(ray_session, tmp_path):
+    """An int32 key on one side joins an int64 key on the other — the
+    bucket hash already normalized widths; the per-bucket Arrow join now
+    casts to a canonical key type instead of raising (round-3 advice)."""
+    import pyarrow as pa
+
+    from pii_detection_test_ray.stages.storage import join_bucketed, write_bucketed
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], pa.int32()),
+                  "a": ["w", "x", "y", "z"]})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, 3, 5], pa.int64()), "b": [20, 30, 50]})
+    )
+    lp = write_bucketed(left, str(tmp_path / "l"), key="k", num_buckets=4)
+    rp = write_bucketed(right, str(tmp_path / "r"), key="k", num_buckets=4)
+    got = sorted((r["k"], r["a"], r["b"]) for r in join_bucketed(lp, rp, key="k").take_all())
+    assert got == [(2, "x", 20), (3, "y", 30)]
+
+
 def test_compact_parquet_preserves_rows(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -169,3 +190,22 @@ def test_compact_parquet_preserves_rows(ray_session, tmp_path):
         for v in pq.read_table(str(f)).column("k").to_pylist()
     )
     assert got == list(range(200))
+
+
+def test_compact_parquet_discovers_nested_shards(ray_session, tmp_path):
+    """Hive-partitioned / nested shard layouts are compacted too — discovery
+    is a recursive walk, not a top-level listing (round-3 advice)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pii_detection_test_ray.stages.storage import compact_parquet
+
+    src = tmp_path / "store"
+    for part in ("lang=en", "lang=ko/deep"):
+        d = src / part
+        d.mkdir(parents=True)
+        for i in range(3):
+            pq.write_table(pa.table({"k": [part + str(i)]}), str(d / f"{i}.parquet"))
+    out = tmp_path / "compact"
+    stats = compact_parquet(str(src), str(out), target_mb=256)
+    assert stats == {"files_in": 6, "files_out": 1, "rows": 6}

@@ -205,3 +205,41 @@ def test_read_jsonl_pages_normalizes_to_input_hint(ray_session, tmp_path):
     assert rows["https://a.com/1"]["html"].startswith(b"<html>")
     assert rows["https://a.com/2"]["warc_ts"].year == 2024
     assert rows["https://a.com/3"]["text"] is None
+
+
+def test_read_jsonl_pages_hostile_timestamps(ray_session, tmp_path):
+    """Real crawl dumps carry ISO variants ('Z', offsets, fractional
+    seconds), WARC 14-digit stamps, fractional epochs and garbage — each
+    parses or nulls the FIELD, never kills the task (round-3 advice)."""
+    import datetime
+    import json
+
+    from pii_detection_test_ray.sources.readers import read_jsonl_pages
+
+    str_lines = [
+        {"url": "u1", "warc_ts": "2024-03-01T10:00:00Z"},
+        {"url": "u2", "warc_ts": "2024-03-01T19:00:00+09:00"},  # = 10:00 UTC
+        {"url": "u3", "warc_ts": "2024-03-01T10:00:00.123456"},
+        {"url": "u4", "warc_ts": "20240301100000"},
+        {"url": "u5", "warc_ts": "2024-03-01 10:00:00"},
+        {"url": "u6", "warc_ts": "last tuesday"},  # unparseable → null
+    ]
+    float_lines = [
+        {"url": "f1", "warc_ts": 1709287200.25},  # sub-second epoch fraction
+    ]
+    p1 = tmp_path / "s.jsonl"
+    p1.write_text("\n".join(json.dumps(l) for l in str_lines))
+    p2 = tmp_path / "f.jsonl"
+    p2.write_text("\n".join(json.dumps(l) for l in float_lines))
+    rows = {
+        r["url"]: r["warc_ts"]
+        for r in read_jsonl_pages(str(p1)).union(read_jsonl_pages(str(p2))).take_all()
+    }
+    utc10 = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    assert rows["u1"] == utc10
+    assert rows["u2"] == utc10  # offset normalized to the UTC instant
+    assert rows["u3"] == utc10  # fractional seconds stripped
+    assert rows["u4"] == utc10
+    assert rows["u5"] == utc10
+    assert rows["u6"] is None
+    assert rows["f1"] == utc10.replace(microsecond=250000)
