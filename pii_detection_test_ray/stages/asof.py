@@ -81,9 +81,25 @@ def asof_join(
     right_ts: str,
     inner: bool = True,
     num_buckets: int | None = None,
+    span_hours: int | None = None,
 ) -> ray.data.Dataset:
     """Columns out = left's ∪ right's value columns (right's key/ts drop).
-    ``inner=False`` keeps unmatched left rows with nulls (ASOF LEFT JOIN)."""
+    ``inner=False`` keeps unmatched left rows with nulls (ASOF LEFT JOIN).
+
+    ``span_hours`` set = the hot-key-safe variant the round-3 docstring
+    promised: rows co-locate by hash(key, ts // span) so one pathological
+    key spreads across its time windows. The boundary hand-off: the latest
+    right row per (key, window) becomes a carry; a tiny per-key pass
+    forward-fills each left-occupied window with the latest carry from any
+    EARLIER window, and that carry enters the window's bucket as an extra
+    right row (its real timestamp — strictly before the window — so the
+    in-bucket binary search picks it only when no in-window right row
+    precedes the left row). Costs one extra scan of each side (carry /
+    window-discovery passes) — prefer parquet-backed inputs."""
+    if span_hours is not None:
+        return _asof_join_windowed(
+            left, right, key, left_ts, right_ts, inner, num_buckets, span_hours
+        )
     l_schema, r_schema = left.schema(), right.schema()
     # A dataset can be empty AND schema-less (e.g. a row-filter that dropped
     # everything): degrade gracefully instead of crashing on .names.
@@ -133,6 +149,32 @@ def asof_join(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
 
+    join_bucket = _make_join_bucket(
+        key, left_ts, left_cols, r_value_cols, all_cols, r_types, inner,
+        windowed=False,
+    )
+    return (
+        tagged.groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
+
+
+def _make_join_bucket(
+    key: str,
+    left_ts: str,
+    left_cols: list[str],
+    r_value_cols: list[str],
+    all_cols: list[str],
+    r_types: dict,
+    inner: bool,
+    windowed: bool,
+):
+    """Per-bucket as-of join kernel, shared by the plain (bucket = hash(key))
+    and windowed (bucket = hash(key, ts // span); join key = (key, __win))
+    plans. ``windowed`` folds the __win column into the key codes so rows of
+    the same key in different time windows never cross-match — the carry
+    rows injected by ``_asof_join_windowed`` supply the cross-window state."""
+
     def join_bucket(group: pa.Table) -> pa.Table:
         is_r = group.column("__is_r")
         l_all = group.filter(pc.invert(is_r))
@@ -160,6 +202,14 @@ def asof_join(
         l_keys = l_rows.column(key).to_numpy(zero_copy_only=False)
         r_keys = r_rows.column(key).to_numpy(zero_copy_only=False)
         l_code, r_code = _key_codes(l_keys, r_keys)
+        if windowed:
+            lw = l_rows.column("__win").to_numpy(zero_copy_only=False)
+            rw = r_rows.column("__win").to_numpy(zero_copy_only=False)
+            lwc, rwc = _key_codes(lw, rw)
+            n_wins = int(max(lwc.max(), rwc.max())) + 1
+            l_code, r_code = _key_codes(
+                l_code * n_wins + lwc, r_code * n_wins + rwc
+            )
         lts = _ts_to_i64(l_rows.column(left_ts))
         rts = _ts_to_i64(r_rows.column("__rts"))
 
@@ -210,9 +260,210 @@ def asof_join(
             out = pa.concat_tables([out, with_null_right(l_unmatched)])
         return out
 
-    return (
-        tagged.groupby("__bucket")
-        .map_groups(join_bucket, batch_format="pyarrow")
+    return join_bucket
+
+
+def _win_ids(tbl: pa.Table, ts_col: str, span_us: int) -> pa.Array:
+    """int64 window ids ts // span (µs, floor). Null ts → window 0 — such
+    rows never match anyway (``_valid_mask`` drops them from comparisons)."""
+    ts = pc.fill_null(
+        pc.cast(tbl.column(ts_col), pa.timestamp("us")),
+        pa.scalar(0, pa.timestamp("us")),
+    )
+    return pa.array(
+        ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // span_us,
+        pa.int64(),
+    )
+
+
+def _asof_join_windowed(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    inner: bool,
+    num_buckets: int | None,
+    span_hours: int,
+) -> ray.data.Dataset:
+    """Hot-key-safe as-of join (see ``asof_join`` docstring for the plan)."""
+    from ..functions.hashing import bucket_ids, bucket_ids_multi, sorted_codes
+
+    span_us = span_hours * 3600 * 1_000_000
+    l_schema, r_schema = left.schema(), right.schema()
+    if l_schema is None:
+        return left
+    if r_schema is None:
+        return left.limit(0) if inner else left
+    if num_buckets is None:
+        num_buckets = _num_buckets_for(left, right)
+    left_cols = list(l_schema.names)
+    r_value_cols = [c for c in r_schema.names if c not in (key, right_ts)]
+    overlap = set(left_cols) & set(r_value_cols)
+    if overlap:
+        raise ValueError(f"non-key column collision: {overlap}")
+    col_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    all_cols = left_cols + r_value_cols
+    rts_type = r_types[right_ts]
+    key_type = col_types[key]
+
+    # ---- carries: latest right row per (key, window) ----------------------
+    def bucket_right(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(_valid_mask(batch, key, right_ts))
+        win = _win_ids(batch, right_ts, span_us)
+        out = batch.append_column("__win", win)
+        b = bucket_ids_multi([out.column(key), win], num_buckets)
+        return out.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def carry_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__bucket"])
+        if group.num_rows == 0:
+            return group
+        code = sorted_codes(group.column(key))
+        win = group.column("__win").to_numpy(zero_copy_only=False)
+        ts = _ts_to_i64(group.column(right_ts))
+        order = np.lexsort((ts, win, code))
+        c_s, w_s = code[order], win[order]
+        last = np.ones(len(order), dtype=bool)
+        last[:-1] = (c_s[1:] != c_s[:-1]) | (w_s[1:] != w_s[:-1])
+        return group.take(pa.array(order[last], pa.int64()))
+
+    carries = (
+        right.map_batches(bucket_right, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(carry_bucket, batch_format="pyarrow")
+    )
+
+    # ---- left-occupied cells: distinct (key, window) ----------------------
+    def cells_batch(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(_valid_mask(batch, key, left_ts))
+        win = _win_ids(batch, left_ts, span_us)
+        t = pa.table({key: batch.column(key), "__win": win})
+        return t.group_by([key, "__win"]).aggregate([])
+
+    from .shuffle import coarse_bucketed_groupby
+
+    lcells = coarse_bucketed_groupby(
+        left.map_batches(cells_batch, batch_format="pyarrow"),
+        [key, "__win"],
+        [],
+    )
+
+    # ---- carry-in per cell: latest carry from any EARLIER window ----------
+    carry_cols = [key, "__win", right_ts] + r_value_cols
+
+    def tag_cell(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {key: batch.column(key), "__win": batch.column("__win")}
+        cols[right_ts] = pa.nulls(n, rts_type)
+        for c in r_value_cols:
+            cols[c] = pa.nulls(n, r_types[c])
+        cols["__is_carry"] = pa.array(np.zeros(n, dtype=bool))
+        out = pa.table(cols)
+        b = bucket_ids(out.column(key), num_buckets)
+        return out.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def tag_carry(batch: pa.Table) -> pa.Table:
+        out = batch.select(carry_cols).append_column(
+            "__is_carry", pa.array(np.ones(batch.num_rows, dtype=bool))
+        )
+        b = bucket_ids(out.column(key), num_buckets)
+        return out.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def carryin_bucket(group: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [(key, key_type), ("__win", pa.int64()), (right_ts, rts_type)]
+            + [(c, r_types[c]) for c in r_value_cols]
+        )
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        code = sorted_codes(group.column(key))
+        win = group.column("__win").to_numpy(zero_copy_only=False)
+        is_carry = group.column("__is_carry").to_numpy(zero_copy_only=False)
+        n = group.num_rows
+        # Within a (key, win) run the cell sorts BEFORE the carry, so the
+        # forward-fill below only ever hands a cell a STRICTLY-earlier
+        # window's carry.
+        order = np.lexsort((is_carry.view(np.int8), win, code))
+        c_s, carry_s = code[order], is_carry[order]
+        pos = np.arange(n)
+        last_carry = np.maximum.accumulate(np.where(carry_s, pos, -1))
+        cell_pos = pos[~carry_s]
+        src = last_carry[cell_pos]
+        ok = src >= 0
+        ok[ok] &= c_s[src[ok]] == c_s[cell_pos[ok]]
+        take_carry = pa.array(order[src[ok]], pa.int64())
+        take_cell = pa.array(order[cell_pos[ok]], pa.int64())
+        cols = {
+            key: group.column(key).take(take_cell),
+            # the carry lands in the CELL's window bucket...
+            "__win": group.column("__win").take(take_cell),
+            # ...with its real (earlier) timestamp
+            right_ts: group.column(right_ts).take(take_carry),
+        }
+        for c in r_value_cols:
+            cols[c] = group.column(c).take(take_carry)
+        return pa.table(cols).cast(out_schema)
+
+    carry_ins = (
+        lcells.map_batches(tag_cell, batch_format="pyarrow")
+        .union(carries.map_batches(tag_carry, batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(carryin_bucket, batch_format="pyarrow")
+    )
+
+    # ---- final bucketed join on (key, window) ------------------------------
+    def pad_right_like(batch: pa.Table, win: pa.Array, rts) -> pa.Table:
+        cols = {}
+        for c in all_cols:
+            if c == key:
+                cols[c] = batch.column(key).cast(key_type)
+            elif c in r_value_cols:
+                cols[c] = batch.column(c)
+            else:
+                cols[c] = pa.nulls(batch.num_rows, col_types[c])
+        out = pa.table(cols)
+        out = out.append_column("__rts", rts).append_column(
+            "__is_r", pa.array(np.ones(batch.num_rows, dtype=bool))
+        ).append_column("__win", win)
+        b = bucket_ids_multi([out.column(key), win], num_buckets)
+        return out.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        for c in r_value_cols:
+            batch = batch.append_column(c, pa.nulls(batch.num_rows, r_types[c]))
+        batch = batch.select(all_cols)
+        win = _win_ids(batch, left_ts, span_us)
+        batch = batch.append_column(
+            "__rts", pa.nulls(batch.num_rows, rts_type)
+        ).append_column(
+            "__is_r", pa.array(np.zeros(batch.num_rows, dtype=bool))
+        ).append_column("__win", win)
+        b = bucket_ids_multi([batch.column(key), win], num_buckets)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        return pad_right_like(
+            batch, _win_ids(batch, right_ts, span_us), batch.column(right_ts)
+        )
+
+    def tag_carry_in(batch: pa.Table) -> pa.Table:
+        return pad_right_like(
+            batch, batch.column("__win"), batch.column(right_ts)
+        )
+
+    tagged = (
+        left.map_batches(tag_left, batch_format="pyarrow")
+        .union(right.map_batches(tag_right, batch_format="pyarrow"))
+        .union(carry_ins.map_batches(tag_carry_in, batch_format="pyarrow"))
+    )
+    join_bucket = _make_join_bucket(
+        key, left_ts, left_cols, r_value_cols, all_cols, r_types, inner,
+        windowed=True,
+    )
+    return tagged.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pyarrow"
     )
 
 

@@ -100,57 +100,136 @@ def sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    span_hours: int = 24,
 ) -> ray.data.Dataset:
     """Rows: (key, n_sessions, n_events). A new session starts when the gap
     since the key's previous event exceeds ``gap_minutes``.
 
-    One task per hash bucket of the key (not per key): inside, keys
-    factorize, one lexsort by (key, ts) orders every key's events at once,
-    and session starts are a single boundary-or-gap mask — per-key Python
-    cost is gone. Partitioning assumption: one bucket's events fit one
-    reducer (a single pathological key would need day-bucketed sub-keys)."""
+    Hot-key-safe two-stage shape (the sub-bucketing the round-3 docstring
+    promised): stage 1 buckets by hash(key, ts // span) — a pathological
+    key with 10^9 events spreads across its time windows instead of landing
+    in one reducer — and reduces each (key, window) run to a partial
+    (first_ts, last_ts, n_starts, n_events) with one lexsort per bucket.
+    Stage 2 exchanges only those partials (≤ one row per key per window),
+    sorts each key's windows by time and subtracts a session for every
+    window boundary the gap spans (a session crossing N windows was counted
+    N times). Per-reducer memory is one window of one bucket's keys in
+    stage 1 and one bucket of partials in stage 2 — no single key can pin a
+    reducer. Within-stage work is numpy masks; per-key Python cost is gone."""
     from .asof import _num_buckets_for
-    from ..functions.hashing import bucket_ids
+    from ..functions.hashing import bucket_ids_multi
 
     gap_us = gap_minutes * 60 * 1_000_000
+    span_us = span_hours * 3600 * 1_000_000
     num_buckets = _num_buckets_for(ds)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = bucket_ids(batch.column(key_col), num_buckets)
-        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+        ts = (
+            pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        win = pa.array(ts // span_us, pa.int64())
+        out = batch.select([key_col, ts_col]).append_column("__win", win)
+        b = bucket_ids_multi([batch.column(key_col), win], num_buckets)
+        return out.append_column("__bucket", pa.array(b, pa.int32()))
 
-    def per_bucket(group: pa.Table) -> pa.Table:
+    def partial_bucket(group: pa.Table) -> pa.Table:
         from ..functions.hashing import sorted_codes
 
+        if group.num_rows == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table(
+                {
+                    key_col: group.column(key_col),
+                    "first_ts": empty,
+                    "last_ts": empty,
+                    "n_starts": empty,
+                    "n_events": empty,
+                }
+            )
         ts = (
             pc.cast(pc.cast(group.column(ts_col), pa.timestamp("us")), pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        # Dense-rank codes: null-safe, no float64 coercion of int keys
-        # (np.unique collapsed distinct ids > 2^53 when a null was present).
         code = sorted_codes(group.column(key_col))
-        _, first_idx = np.unique(code, return_index=True)
-        order = np.lexsort((ts, code))
-        c_s, t_s = code[order], ts[order]
-        new_key = np.r_[True, c_s[1:] != c_s[:-1]]
+        win = group.column("__win").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, win, code))
+        c_s, w_s, t_s = code[order], win[order], ts[order]
+        new_run = np.r_[True, (c_s[1:] != c_s[:-1]) | (w_s[1:] != w_s[:-1])]
         gap_break = np.r_[True, (t_s[1:] - t_s[:-1]) > gap_us]
-        starts = new_key | gap_break
-        n_sessions = np.bincount(c_s, weights=starts).astype(np.int64)
-        n_events = np.bincount(c_s).astype(np.int64)
+        starts = new_run | gap_break
+        run_id = np.cumsum(new_run) - 1
+        first_idx = np.flatnonzero(new_run)
+        last_idx = np.r_[first_idx[1:] - 1, len(order) - 1]
         return pa.table(
             {
                 key_col: group.column(key_col).take(
-                    pa.array(first_idx, pa.int64())
+                    pa.array(order[first_idx], pa.int64())
+                ),
+                "first_ts": pa.array(t_s[first_idx], pa.int64()),
+                "last_ts": pa.array(t_s[last_idx], pa.int64()),
+                "n_starts": pa.array(
+                    np.bincount(run_id, weights=starts).astype(np.int64), pa.int64()
+                ),
+                "n_events": pa.array(np.bincount(run_id).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        from ..functions.hashing import sorted_codes
+
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: group.column(key_col),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        code = sorted_codes(group.column(key_col))
+        first = group.column("first_ts").to_numpy(zero_copy_only=False)
+        last = group.column("last_ts").to_numpy(zero_copy_only=False)
+        starts = group.column("n_starts").to_numpy(zero_copy_only=False)
+        events = group.column("n_events").to_numpy(zero_copy_only=False)
+        order = np.lexsort((first, code))
+        c_s = code[order]
+        new_key = np.r_[True, c_s[1:] != c_s[:-1]]
+        # A session spanning the window cut was counted once per side:
+        # subtract one wherever a key's next window starts within the gap.
+        bridged = ~new_key & (
+            (first[order] - np.r_[0, last[order][:-1]]) <= gap_us
+        )
+        _, key_first = np.unique(c_s, return_index=True)
+        n_sessions = (
+            np.bincount(c_s, weights=starts[order])
+            - np.bincount(c_s, weights=bridged)
+        ).astype(np.int64)
+        n_events = np.bincount(c_s, weights=events[order]).astype(np.int64)
+        return pa.table(
+            {
+                key_col: group.column(key_col).take(
+                    pa.array(order[key_first], pa.int64())
                 ),
                 "n_sessions": pa.array(n_sessions, pa.int64()),
                 "n_events": pa.array(n_events, pa.int64()),
             }
         )
 
-    return (
+    partials = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(per_bucket, batch_format="pyarrow")
+        .map_groups(partial_bucket, batch_format="pyarrow")
+    )
+    from ..functions.hashing import bucket_ids
+
+    def rebucket(batch: pa.Table) -> pa.Table:
+        b = bucket_ids(batch.column(key_col), num_buckets)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    return (
+        partials.map_batches(rebucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
     )
 
 
@@ -215,17 +294,30 @@ def running_totals(
     ts_col: str,
     val_col: str,
     id_col: str,
+    span_hours: int | None = 24,
 ) -> ray.data.Dataset:
     """Per-key cumulative running sum ordered by (ts, id) — the window
     aggregate ``SUM(val) OVER (PARTITION BY key ORDER BY ts, id ROWS
     UNBOUNDED PRECEDING)``. Emits one row per input row
-    (id, key, cum_<val>).
+    (id, key, cum_<val>). ``val_col`` must be integer (the engine-wide
+    integer-exactness contract).
 
-    Same physical shape as ``sessionize``: one task per hash bucket of the
-    key, keys factorize, ONE lexsort orders every key's rows at once, and
-    the per-key cumulative sum is a whole-bucket ``np.cumsum`` minus each
-    run's starting offset — no per-key Python. Partitioning assumption
-    (documented like the siblings): one bucket's rows fit one reducer."""
+    Default path (``span_hours`` set) is hot-key-safe: rows co-locate by
+    hash(key, ts // span) so a pathological key spreads across its time
+    windows; a combiner pass sums each (key, window) cell, a tiny per-key
+    exchange turns the window totals into exclusive prefix offsets (the
+    cumulative hand-off), and the final bucket task seats each window's
+    offset row first in its run and adds it to the in-window cumsum. Costs
+    one extra scan of ``ds`` (the combiner pass) vs the single-exchange
+    path — prefer a parquet-backed or checkpointed input.
+
+    ``span_hours=None`` is the cheaper single-exchange path (one task per
+    key hash bucket, one lexsort + np.cumsum) with the documented
+    assumption that no single key outgrows a reducer."""
+    if span_hours is not None:
+        return _running_totals_windowed(
+            ds, key_col, ts_col, val_col, id_col, span_hours
+        )
     from .asof import _num_buckets_for
     from ..functions.hashing import bucket_ids
 
@@ -268,6 +360,171 @@ def running_totals(
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def _running_totals_windowed(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    id_col: str,
+    span_hours: int,
+) -> ray.data.Dataset:
+    """Hot-key-safe running_totals (see its docstring for the plan shape)."""
+    from .asof import _num_buckets_for
+    from .shuffle import partial_groupby_sum
+    from ..functions.hashing import bucket_ids, bucket_ids_multi
+
+    span_us = span_hours * 3600 * 1_000_000
+    num_buckets = _num_buckets_for(ds)
+    out_val = f"cum_{val_col}"
+    sch = ds.schema().base_schema
+    id_type = sch.field(id_col).type
+    key_type = sch.field(key_col).type
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column(ts_col), pa.timestamp("us"))
+        win = pa.array(
+            ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // span_us,
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                key_col: batch.column(key_col),
+                ts_col: ts,
+                val_col: batch.column(val_col).cast(pa.int64()),
+                "__win": win,
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    # Window totals per (key, window): combiner exchange, ≤ one row per
+    # cell per block — the only all-rows pass besides the final one.
+    cells = partial_groupby_sum(tagged, [key_col, "__win"], [val_col])
+
+    def offsets_bucket(group: pa.Table) -> pa.Table:
+        from ..functions.hashing import sorted_codes
+
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: group.column(key_col),
+                    "__win": pa.array([], pa.int64()),
+                    "__off": pa.array([], pa.int64()),
+                }
+            )
+        code = sorted_codes(group.column(key_col))
+        win = group.column("__win").to_numpy(zero_copy_only=False)
+        tot = group.column(val_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((win, code))
+        c_s, t_s = code[order], tot[order]
+        cs = np.cumsum(t_s)
+        n = len(order)
+        starts = np.r_[True, c_s[1:] != c_s[:-1]]
+        run_start = np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+        excl = cs - t_s  # prefix sum excluding self
+        off = excl - excl[run_start]
+        take = pa.array(order, pa.int64())
+        return pa.table(
+            {
+                key_col: group.column(key_col).take(take),
+                "__win": pa.array(win[order], pa.int64()),
+                "__off": pa.array(off, pa.int64()),
+            }
+        )
+
+    def bucket_cells(batch: pa.Table) -> pa.Table:
+        b = bucket_ids(batch.column(key_col), num_buckets)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
+
+    offsets = (
+        cells.map_batches(bucket_cells, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(offsets_bucket, batch_format="pyarrow")
+    )
+
+    # Final pass: rows ∪ offset rows co-located by hash(key, window); the
+    # offset row seats first in its (key, window) run and hands its value
+    # to the in-window cumsum.
+    union_cols = [id_col, key_col, ts_col, val_col, "__win", "__off", "__is_off"]
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = batch.append_column("__off", pa.nulls(n, pa.int64())).append_column(
+            "__is_off", pa.array(np.zeros(n, dtype=bool))
+        )
+        b = bucket_ids_multi([out.column(key_col), out.column("__win")], num_buckets)
+        return out.select(union_cols).append_column("__bucket", pa.array(b, pa.int32()))
+
+    def tag_offsets(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = pa.table(
+            {
+                id_col: pa.nulls(n, id_type),
+                key_col: batch.column(key_col),
+                ts_col: pa.nulls(n, pa.timestamp("us")),
+                val_col: pa.array(np.zeros(n, dtype=np.int64)),
+                "__win": batch.column("__win"),
+                "__off": batch.column("__off"),
+                "__is_off": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+        b = bucket_ids_multi([out.column(key_col), out.column("__win")], num_buckets)
+        return out.append_column("__bucket", pa.array(b, pa.int32()))
+
+    def final_bucket(group: pa.Table) -> pa.Table:
+        from ..functions.hashing import sorted_codes
+
+        is_off = group.column("__is_off").to_numpy(zero_copy_only=False)
+        if group.num_rows == 0 or bool(is_off.all()):
+            return pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    key_col: pa.array([], key_type),
+                    out_val: pa.array([], pa.int64()),
+                }
+            )
+        code = sorted_codes(group.column(key_col))
+        win = group.column("__win").to_numpy(zero_copy_only=False)
+        ts = (
+            pc.fill_null(group.column(ts_col), pa.scalar(0, pa.timestamp("us")))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = (
+            pc.fill_null(group.column(val_col), 0)
+            .to_numpy(zero_copy_only=False)
+        )
+        off = (
+            pc.fill_null(group.column("__off"), 0)
+            .to_numpy(zero_copy_only=False)
+        )
+        id_code = sorted_codes(group.column(id_col))
+        n = group.num_rows
+        order = np.lexsort((id_code, ts, (~is_off).view(np.int8), win, code))
+        c_s, w_s, v_s = code[order], win[order], v[order]
+        cs = np.cumsum(v_s)
+        new_run = np.r_[True, (c_s[1:] != c_s[:-1]) | (w_s[1:] != w_s[:-1])]
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        cum = cs - cs[run_start] + off[order][run_start]
+        keep = ~is_off[order]
+        take = pa.array(order[keep], pa.int64())
+        return pa.table(
+            {
+                id_col: group.column(id_col).take(take),
+                key_col: group.column(key_col).take(take),
+                out_val: pa.array(cum[keep], pa.int64()),
+            }
+        )
+
+    unioned = tagged.map_batches(tag_rows, batch_format="pyarrow").union(
+        offsets.map_batches(tag_offsets, batch_format="pyarrow")
+    )
+    return unioned.groupby("__bucket").map_groups(
+        final_bucket, batch_format="pyarrow"
     )
 
 

@@ -55,6 +55,52 @@ def test_asof_join_matches_bruteforce(ray_session, inner):
     assert got == _brute(left, right, inner)
 
 
+@pytest.mark.parametrize("inner", [True, False])
+def test_asof_join_windowed_matches_bruteforce(ray_session, inner):
+    """span_hours=1 over ~83 hours of events: scores of window cuts, so
+    most matches cross a boundary and ride the carry hand-off."""
+    from pii_detection_test_ray.stages.asof import asof_join
+
+    left, right = _sides()
+    lds = ray.data.from_items(left, override_num_blocks=3)
+    rds = ray.data.from_items(right, override_num_blocks=2)
+    got = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in asof_join(
+            lds, rds, "k", "t", "t2", inner=inner, span_hours=1
+        ).take_all()
+    )
+    assert got == _brute(left, right, inner)
+
+
+def test_asof_join_windowed_skewed_key(ray_session):
+    """One key owns ~all rows on both sides — the case that pins a single
+    reducer on the plain path. The windowed path splits it by time and
+    still matches brute force, including left rows whose only match is
+    several empty windows back."""
+    from pii_detection_test_ray.stages.asof import asof_join
+
+    base = datetime(2024, 1, 1)
+    left = [
+        {"k": 7, "t": base + timedelta(minutes=13 * i), "lv": i}
+        for i in range(400)
+    ] + [{"k": 1, "t": base, "lv": 1000}]
+    # sparse right side: long stretches of windows with no right rows
+    right = [
+        {"k": 7, "t2": base + timedelta(minutes=900 * j + 1), "rv": f"r{j}"}
+        for j in range(6)
+    ]
+    lds = ray.data.from_items(left, override_num_blocks=4)
+    rds = ray.data.from_items(right, override_num_blocks=2)
+    got = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in asof_join(
+            lds, rds, "k", "t", "t2", inner=False, span_hours=1
+        ).take_all()
+    )
+    assert got == _brute(left, right, False)
+
+
 def test_asof_join_key_without_right_rows(ray_session):
     """Keys that never appear on the right: dropped under inner, null under
     left join."""

@@ -45,6 +45,86 @@ def test_sessionize(ray_session):
     assert out[2]["n_sessions"] == 1 and out[2]["n_events"] == 3
 
 
+def _brute_sessions(rows, gap_minutes=30):
+    """Pure-Python sessionize oracle."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["user_id"]].append(r["ts"])
+    out = {}
+    for k, tss in by_key.items():
+        tss.sort()
+        n = 1 + sum(
+            1
+            for a, b in zip(tss, tss[1:])
+            if (b - a) > timedelta(minutes=gap_minutes)
+        )
+        out[k] = (n, len(tss))
+    return out
+
+
+def test_sessionize_skewed_key(ray_session):
+    """One user holds ~all events across many days — the hot key that would
+    pin a single reducer. The two-stage shape splits it across time windows;
+    sessions that span the window cut (including across EMPTY windows) merge
+    back in the boundary pass. span_hours=1 maximizes cut crossings."""
+    from pii_detection_test_ray.stages.windows import sessionize
+
+    base = datetime(2024, 5, 1)
+    rows = []
+    # hot user: event every 25 min (continuous 1-session chain crossing
+    # every hourly cut), then a 3-day silence, then a second chain
+    for i in range(300):
+        rows.append({"user_id": 9, "ts": base + timedelta(minutes=25 * i)})
+    for i in range(50):
+        rows.append(
+            {"user_id": 9, "ts": base + timedelta(days=9, minutes=29 * i)}
+        )
+    # sprinkle of normal users
+    for u in range(3):
+        rows.append({"user_id": u, "ts": base + timedelta(hours=u)})
+    ds = ray.data.from_items(rows, override_num_blocks=8)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in sessionize(ds, gap_minutes=30, span_hours=1).take_all()
+    }
+    assert got == _brute_sessions(rows)
+
+
+def test_running_totals_windowed_matches_plain_under_skew(ray_session):
+    """Hot-key running totals: the windowed (default) path must equal the
+    single-exchange path row-for-row, including the cross-window offset
+    hand-off over empty windows."""
+    import random
+
+    from pii_detection_test_ray.stages.windows import running_totals
+
+    rng = random.Random(11)
+    base = datetime(2024, 5, 1)
+    rows = [
+        {
+            "event_id": i,
+            "user_id": 9 if i % 20 else i,  # 95% of rows on one key
+            "ts": base + timedelta(minutes=rng.randint(0, 60 * 24 * 30)),
+            "cents": rng.randint(-50, 500),
+        }
+        for i in range(2000)
+    ]
+    ds = ray.data.from_items(rows, override_num_blocks=6)
+    kw = dict(key_col="user_id", ts_col="ts", val_col="cents", id_col="event_id")
+    plain = {
+        r["event_id"]: r["cum_cents"]
+        for r in running_totals(ds, span_hours=None, **kw).take_all()
+    }
+    windowed = {
+        r["event_id"]: r["cum_cents"]
+        for r in running_totals(ds, span_hours=24, **kw).take_all()
+    }
+    assert len(plain) == 2000
+    assert windowed == plain
+
+
 def test_top_k_per_group(ray_session):
     from pii_detection_test_ray.stages.windows import top_k_per_group
 
