@@ -353,13 +353,21 @@ def q_tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    # Materialized once: BOTH the df reduce and the join probe consume
-    # pairs, and Ray re-executes lineage per consumer — without this the
-    # corpus tokenization (the dominant cost) runs twice. The pairs table
-    # is (doc, term, tf) — token-free, a fraction of corpus bytes; at
-    # cluster scale this is the table you'd checkpoint to parquet
-    # (pipelines/curate.py documents the same multi-consumer hazard).
-    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow").materialize()
+    # Checkpointed once to Parquet: BOTH the df reduce and the join probe
+    # consume pairs, and Ray re-executes lineage per consumer — without
+    # this the corpus tokenization (the dominant cost) runs twice. A
+    # parquet round-trip (the curate.py phase pattern) streams, spills to
+    # disk and stays resumable, where a .materialize() would hold the
+    # whole corpus-scale (doc, term, tf) table in the object store.
+    import tempfile
+
+    from .curate import _checkpoint
+
+    pairs = _checkpoint(
+        ds.map_batches(tf_pairs, batch_format="pyarrow"),
+        tempfile.mkdtemp(prefix="pdtr_tfidf_"),
+        "pairs",
+    )
 
     # df via the combiner + coarse-bucket reduce (partial_groupby_sum):
     # pairs are distinct per (doc, term), so a row count per term IS the

@@ -49,28 +49,21 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-def _global_topk_fn(id_col: str, k: int):
+def _global_topk(
+    candidates: ray.data.Dataset, id_col: str, k: int
+) -> ray.data.Dataset:
     """Shared final reducer: per query_id, keep the k best (score desc,
-    id asc) candidates from all blocks' local top-k lists."""
+    id asc) rows from all blocks' local top-k lists — routed through the
+    repo-standard coarse-bucket top-k (``top_k_per_group``: one task per
+    query-id hash bucket, one lexsort, no per-query Python), so large query
+    sets never hit a per-key ``map_groups``."""
+    from .windows import top_k_per_group
 
-    def global_topk(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(
-                group.column("score").to_pylist(),
-                group.column(id_col).to_pylist(),
-                group.column("query_id").to_pylist(),
-            ),
-            key=lambda r: (-r[0], r[1]),
-        )[:k]
-        return pa.table(
-            {
-                "query_id": pa.array([r[2] for r in rows], pa.int64()),
-                id_col: pa.array([r[1] for r in rows]),
-                "score": pa.array([r[0] for r in rows], pa.float64()),
-            }
-        )
-
-    return global_topk
+    out = top_k_per_group(candidates, "query_id", "score", id_col, k=k)
+    return out.map_batches(
+        lambda t: t.select(["query_id", id_col, "score"]),
+        batch_format="pyarrow",
+    )
 
 
 def knn_brute_force(
@@ -117,10 +110,8 @@ def knn_brute_force(
             }
         )
 
-    return (
-        ds.map_batches(local_topk, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(_global_topk_fn(id_col, k), batch_format="pyarrow")
+    return _global_topk(
+        ds.map_batches(local_topk, batch_format="pyarrow"), id_col, k
     )
 
 
@@ -245,8 +236,6 @@ def knn_ivf(
             }
         )
 
-    return (
-        ds.map_batches(local_topk, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(_global_topk_fn(id_col, k), batch_format="pyarrow")
+    return _global_topk(
+        ds.map_batches(local_topk, batch_format="pyarrow"), id_col, k
     )

@@ -262,6 +262,10 @@ def top_k_per_group(
         n = group.num_rows
         from ..functions.hashing import sorted_codes
 
+        if n == 0:
+            return group.select([group_col, id_col, order_col]).append_column(
+                "rank", pa.array([], pa.int64())
+            )
         # Dense-rank codes are order-isomorphic to values (nulls first),
         # so code-level comparison == value-level comparison for any dtype
         # — including null strings and int64 ids beyond 2^53.
