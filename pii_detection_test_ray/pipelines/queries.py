@@ -2185,6 +2185,28 @@ def q_jaccard_pairs_exact(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_dup_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Duplicate-cluster ids: connected components over the exact 3-gram
+    Jaccard ≥ 0.5 pair set (stages/graph.connected_components — min-label
+    propagation with edge contraction + pointer jumping). Each paired doc
+    gets cluster_id = the smallest doc_id reachable through near-dup pairs
+    — the SemDeDup-style per-cluster key pair-dropping dedup can't provide.
+    SQL-paired: DuckDB computes the same fixed point as a recursive
+    transitive closure over the identical pair set."""
+    from ..stages.dedup import jaccard_pairs_exact
+    from ..stages.graph import connected_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = jaccard_pairs_exact(
+        ds, id_col="doc_id", text_col="text", ngram=3, max_df=50, threshold=0.5
+    )
+    out = connected_components(pairs, node_a="id_a", node_b="id_b")
+    return out.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     """Embedding near-dup over the driver's embeddings table (64-dim).
     Random embeddings have no cosine≥0.95 neighbors, so the operator would
@@ -2333,6 +2355,7 @@ QUERIES = {
     "decontaminate_ngram": q_decontaminate_ngram,
     "dedup_page_lines": q_dedup_page_lines,
     "jaccard_pairs_exact": q_jaccard_pairs_exact,
+    "dup_clusters": q_dup_clusters,
     # rows-only
     "latency_stats": q_latency_stats,
     "pack_sequences": q_pack_sequences,

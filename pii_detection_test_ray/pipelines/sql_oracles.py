@@ -278,6 +278,54 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = s.id_b
         WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5
     """,
+    # Connected components over the exact-Jaccard pair set as a recursive
+    # transitive closure (the engine's min-label propagation reaches the
+    # same fixed point): reach(node, r) holds every (node, id that reaches
+    # it); min(r) per node = the component's smallest doc_id.
+    "dup_clusters": """
+        WITH RECURSIVE tk AS (
+            SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+            FROM tk,
+                 LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 1))) AS i)
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        ),
+        keep AS (
+            SELECT doc_id, gram FROM grams
+            QUALIFY count(*) OVER (PARTITION BY gram) <= 50
+        ),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM keep a JOIN keep b
+              ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT s.id_a, s.id_b
+            FROM shared s
+            JOIN sizes sa ON sa.doc_id = s.id_a
+            JOIN sizes sb ON sb.doc_id = s.id_b
+            WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5
+        ),
+        und AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM und)
+            UNION
+            SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.node
+        )
+        SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        FROM reach
+        GROUP BY node
+    """,
     "stratified_sample": """
         SELECT lang, doc_id
         FROM documents

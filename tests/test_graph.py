@@ -1,0 +1,74 @@
+"""Connected components (min-label propagation + pointer jumping) vs a
+pure-Python union-find oracle."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+import ray.data
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run(edges, **kw):
+    from pii_detection_test_ray.stages.graph import connected_components
+
+    ds = ray.data.from_items(
+        [{"id_a": a, "id_b": b} for a, b in edges], override_num_blocks=4
+    )
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(ds, **kw).take_all()
+    }
+
+
+def test_components_random_graph_matches_union_find(ray_session):
+    rng = random.Random(7)
+    edges = [
+        e
+        for e in (
+            (rng.randint(0, 199), rng.randint(0, 199)) for _ in range(150)
+        )
+        if e[0] != e[1]  # self-pairs are not pairs (operator contract)
+    ]
+    assert _run(edges) == _union_find(edges)
+
+
+def test_components_long_chain_converges_fast(ray_session):
+    """A 300-node chain needs ~300 rounds under plain propagation; pointer
+    jumping must close it within the 50-round default (it takes ~log2)."""
+    edges = [(i, i + 1) for i in range(299)]
+    got = _run(edges)
+    assert got == {i: 0 for i in range(300)}
+
+
+def test_components_isolated_pairs_and_triangle(ray_session):
+    edges = [(5, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+    assert _run(edges) == _union_find(edges)
+
+
+def test_components_empty_edges(ray_session):
+    from pii_detection_test_ray.stages.graph import connected_components
+
+    ds = ray.data.from_items([{"id_a": 1, "id_b": 2}]).filter(
+        lambda r: False
+    )
+    assert connected_components(ds).take_all() == []
