@@ -16,7 +16,13 @@ import re
 import numpy as np
 
 _MERSENNE_61 = (1 << 61) - 1
-_WORD_RE = re.compile(r"\w+", re.UNICODE)
+# Explicit ranges, not `\w`: Python re and DuckDB RE2 agree on explicit
+# character classes but diverge on unicode shorthand classes (the repo's
+# cross-engine regex contract — same trade as the BPE tokenizer). Covers
+# the corpus's scripts (Latin, digits, underscore, Hangul syllables);
+# word-token semantics for near-dup shingling, mirrored verbatim in the
+# ngram_jaccard_pairs SQL oracle.
+_WORD_RE = re.compile(r"[A-Za-z0-9_가-힣]+")
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:

@@ -226,32 +226,45 @@ def q_bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
-    """Sequence packing: documents greedily concatenated into ≤256-BPE-token
-    training sequences (T5/GPT-3 packing, the final LLM data-prep step).
-    Deterministic under any partitioning (hash-bucket + in-bucket id order);
-    rows-only — order-dependent greedy packing is not SQL-expressible;
-    semantics pinned by a pure-Python oracle in tests."""
+    """Sequence packing: documents greedily concatenated into ≤90-BPE-token
+    training sequences (T5/GPT-3 packing, the final LLM data-prep step;
+    budget 90 sits inside the corpus's 10-99 token range so BOTH paths are
+    non-vacuous: multi-doc packs and oversize own-sequence docs).
+    Deterministic under any partitioning (bucket + in-bucket id order).
+    SQL-paired: the co-location bucket is ``doc_id % 8`` (SQL-mirrorable
+    arithmetic; the operator's default id hash is not) and DuckDB replays
+    the greedy first-fit scan as a per-bucket recursive CTE. Compared as
+    the MULTISET of sequences (bucket, n_docs, n_tokens, oversize) — the
+    within-bucket sequence index is scan order, an artifact the recursion
+    numbers differently around oversize docs."""
     from ..functions.quality import token_count_bpe
     from ..stages.packing import pack_sequences
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def count(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
+                "doc_id": ids,
                 "n_tokens": pa.array(
                     [token_count_bpe(t or "") for t in batch.column("text").to_pylist()],
                     pa.int64(),
+                ),
+                "bucket": pc.cast(
+                    pc.subtract(
+                        ids, pc.multiply(pc.divide(ids, 8), 8)
+                    ),
+                    pa.int32(),
                 ),
             }
         )
 
     counted = ds.map_batches(count, batch_format="pyarrow")
     packed = pack_sequences(
-        counted, "doc_id", "n_tokens", max_tokens=256, num_buckets=8
+        counted, "doc_id", "n_tokens", max_tokens=90, bucket_col="bucket"
     )
-    return packed.drop_columns(["doc_ids"])
+    return packed.select_columns(["bucket", "n_docs", "n_tokens", "oversize"])
 
 
 def q_vocab_top_tokens(sf_dir: str) -> ray.data.Dataset:
@@ -2164,9 +2177,26 @@ def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
-    corpus = synthetic_corpus_dir()
-    ds = ray.data.read_parquet(f"{corpus}/documents", columns=["url", "text"])
-    return ngram_jaccard_pairs(ds, threshold=0.5)
+    """LSH-candidate near-dup with EXACT word-3-gram Jaccard verification,
+    SQL-paired against the DuckDB BRUTE-FORCE all-pairs join (no LSH): the
+    hash-green equality pins both the verify kernel AND that LSH recall is
+    1 at this operating point (128 perms × 64 bands = 2 rows/band ⇒ a
+    j-similar pair misses every band with P ≈ (1-j²)^64 — 4e-13 at the
+    0.5 threshold, 0 at the corpus's actual ≥0.9 near-dup similarities;
+    2-row bands also keep LSH buckets far under the skew cap, unlike
+    1-row bands whose buckets are 'every doc sharing one min-hash').
+    Word tokens are the explicit cross-engine class
+    (functions/hashing._WORD_RE)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(
+        ds,
+        id_col="doc_id",
+        text_col="text",
+        ngram=3,
+        threshold=0.5,
+        num_perm=128,
+        num_bands=64,
+    )
 
 
 def q_jaccard_pairs_exact(sf_dir: str) -> ray.data.Dataset:

@@ -278,6 +278,84 @@ ORACLES: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = s.id_b
         WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5
     """,
+    # Greedy first-fit sequence packing replayed as a per-bucket recursive
+    # CTE (one recursion step per doc in bucket rank order, exactly the
+    # engine's in-bucket scan); docs longer than the budget are their own
+    # oversize sequences outside the scan. Compared as the multiset of
+    # (bucket, n_docs, n_tokens, oversize) rows — see q_pack_sequences.
+    "pack_sequences": """
+        WITH RECURSIVE d AS (
+            SELECT doc_id,
+                   CAST(doc_id % 8 AS INTEGER) AS bucket,
+                   len(regexp_extract_all(
+                       coalesce(text, ''),
+                       ' ?[A-Za-z가-힣]+| ?[0-9]+| ?[^ \\t\\n\\r\\x0b\\x0cA-Za-z가-힣0-9]+'
+                   )) AS t
+            FROM documents
+        ),
+        packable AS (
+            SELECT bucket, t,
+                   row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+            FROM d WHERE t <= 90
+        ),
+        rec AS (
+            SELECT bucket, rn, t, t AS cum, 0 AS seq
+            FROM packable WHERE rn = 1
+            UNION ALL
+            SELECT p.bucket, p.rn, p.t,
+                   CASE WHEN rec.cum + p.t > 90 THEN p.t
+                        ELSE rec.cum + p.t END,
+                   CASE WHEN rec.cum + p.t > 90 THEN rec.seq + 1
+                        ELSE rec.seq END
+            FROM rec JOIN packable p
+              ON p.bucket = rec.bucket AND p.rn = rec.rn + 1
+        )
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(t) AS BIGINT) AS n_tokens, false AS oversize
+        FROM rec GROUP BY bucket, seq
+        UNION ALL
+        SELECT CAST(doc_id % 8 AS INTEGER), CAST(1 AS BIGINT),
+               CAST(t AS BIGINT), true
+        FROM d WHERE t > 90
+    """,
+    # Brute-force all-pairs word-3-gram Jaccard — the no-LSH ground truth
+    # the engine's LSH-candidate + exact-verify plan must reproduce
+    # exactly (recall-1 operating point; see q_ngram_jaccard_pairs).
+    # Word tokens mirror functions/hashing._WORD_RE verbatim; a doc with
+    # fewer than 3 tokens contributes its whole token string as its one
+    # gram (word_ngrams' short-doc rule).
+    "ngram_jaccard_pairs": """
+        WITH tok AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '[a-z0-9_가-힣]+') AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+            FROM tok,
+                 LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, 1))) AS i)
+            WHERE len(tk) >= 3
+            UNION
+            SELECT doc_id, array_to_string(tk, ' ')
+            FROM tok WHERE len(tk) BETWEEN 1 AND 2
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        ),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM grams a JOIN grams b
+              ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT s.id_a, s.id_b,
+               CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) AS jaccard
+        FROM shared s
+        JOIN sizes sa ON sa.doc_id = s.id_a
+        JOIN sizes sb ON sb.doc_id = s.id_b
+        WHERE CAST(s.shared AS DOUBLE) / (sa.n + sb.n - s.shared) >= 0.5
+    """,
     # Connected components over the exact-Jaccard pair set as a recursive
     # transitive closure (the engine's min-label propagation reaches the
     # same fixed point): reach(node, r) holds every (node, id that reaches

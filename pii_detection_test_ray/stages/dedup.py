@@ -502,25 +502,40 @@ def _candidates_from_group(group: pa.Table, id_col: str) -> pa.Table:
         for i in range(n):
             clusters.setdefault(sigs[i].tobytes(), []).append(i)
     reps: list[int] = []
+    cluster_of: dict[int, list[int]] = {}
     for members in clusters.values():
         members.sort(key=lambda i: ids[i])
         head = members[0]
         reps.append(head)
+        cluster_of[head] = members
         if band == 0:
-            for other in members[1:]:
-                if ids[other] != ids[head]:
-                    a_out.append(ids[head])
-                    b_out.append(ids[other])
+            # Full within-cluster pairs, not just head↔member: this is a
+            # pair-LISTING operator, so an identical-signature cluster of m
+            # docs owes all C(m,2) pairs — the output itself is O(m²), the
+            # emission is not extra asymptotic cost. (The keep-min dedup
+            # path pairs linearly via _cluster_verify_pairs instead.)
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    i, j = members[x], members[y]
+                    if ids[i] != ids[j]:
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
     reps.sort(key=lambda i: ids[i])
     reps = reps[:_MAX_BUCKET_REPS]
+    # Rep pairs expand to the full cross-product of their identical-sig
+    # clusters: a non-head member is near-identical to its head, so every
+    # cross-cluster pair the head would make, the member owes too — each
+    # emitted pair is still verified individually downstream (no identical-
+    # gram-set assumption rides on the expansion).
     for x in range(len(reps)):
         for y in range(x + 1, len(reps)):
-            i, j = reps[x], reps[y]
-            if ids[i] == ids[j]:
-                continue
-            a, b = sorted((ids[i], ids[j]))
-            a_out.append(a)
-            b_out.append(b)
+            for i in cluster_of[reps[x]]:
+                for j in cluster_of[reps[y]]:
+                    if ids[i] == ids[j]:
+                        continue
+                    a, b = sorted((ids[i], ids[j]))
+                    a_out.append(a)
+                    b_out.append(b)
     return pa.table(
         {
             "id_a": pa.array(a_out, id_type),
@@ -603,17 +618,20 @@ def ngram_jaccard_pairs(
     def verify_batch(batch: pa.Table) -> pa.Table:
         t_a = batch.column("__text_a").to_pylist()
         t_b = batch.column("__text_b").to_pylist()
-        jac = [
-            jaccard(
-                set(word_ngrams(a or "", ngram)), set(word_ngrams(b or "", ngram))
-            )
-            for a, b in zip(t_a, t_b)
-        ]
+        # Contentless docs (zero grams after tokenization) never pair:
+        # jaccard(∅,∅)=1 would call two empty pages near-duplicates, which
+        # exact dedup already covers — and the SQL brute-force oracle has
+        # no gram rows for them, so this is also the cross-engine contract.
+        jac = []
+        for a, b in zip(t_a, t_b):
+            ga = set(word_ngrams(a or "", ngram))
+            gb = set(word_ngrams(b or "", ngram))
+            jac.append(0.0 if not ga and not gb else jaccard(ga, gb))
         keep = pa.array([j >= threshold for j in jac], pa.bool_())
         out = batch.select(["id_a", "id_b"]).filter(keep)
-        scores = pa.array(
-            [round(j, 6) for j in jac if j >= threshold], pa.float64()
-        )
+        # Raw IEEE |∩|/|∪| division — one shared rounding point with the
+        # DuckDB brute-force oracle, so scores hash-compare bit-for-bit.
+        scores = pa.array([j for j in jac if j >= threshold], pa.float64())
         return out.append_column("jaccard", scores)
 
     return with_b.map_batches(verify_batch, batch_format="pyarrow")

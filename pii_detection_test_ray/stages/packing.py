@@ -28,10 +28,15 @@ def pack_sequences(
     token_counts_col: str,
     max_tokens: int,
     num_buckets: int | None = None,
+    bucket_col: str | None = None,
 ) -> ray.data.Dataset:
     """Pack rows (pre-counted: ``token_counts_col``) into sequences of at
     most ``max_tokens`` tokens. Output one row per packed sequence:
-    (bucket, seq_idx, n_docs, n_tokens, oversize, doc_ids)."""
+    (bucket, seq_idx, n_docs, n_tokens, oversize, doc_ids).
+
+    ``bucket_col`` names a caller-supplied int32 co-location column in
+    place of the default id hash — e.g. ``doc_id % k``, whose arithmetic a
+    SQL oracle can mirror exactly (the hash cannot be expressed in SQL)."""
     from ..functions.hashing import bucket_ids
     from .joins import _auto_num_buckets
 
@@ -39,6 +44,10 @@ def pack_sequences(
         num_buckets = _auto_num_buckets(ds)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        if bucket_col is not None:
+            return batch.append_column(
+                "__bucket", batch.column(bucket_col).cast(pa.int32())
+            ).drop_columns([bucket_col])
         buckets = bucket_ids(batch.column(id_col), num_buckets)
         return batch.append_column("__bucket", pa.array(buckets, pa.int32()))
 

@@ -213,8 +213,9 @@ def test_ngram_pairs_match_pure_python_oracle(ray_session):
     rows = _mutation_corpus()
     threshold = 0.5
     # Representative compression (mirrors the operator): identical texts
-    # form a cluster whose min-id head alone does candidate pairing; every
-    # other member pairs only with its head (at Jaccard 1.0).
+    # form a cluster; within-cluster ALL pairs emit at Jaccard 1.0, and a
+    # rep-pair collision expands to the full cross-product of both
+    # clusters (each cross pair verified at its texts' raw Jaccard).
     clusters: dict[str, list[str]] = {}
     for r in rows:
         clusters.setdefault(r["text"], []).append(r["url"])
@@ -222,9 +223,10 @@ def test_ngram_pairs_match_pure_python_oracle(ray_session):
     heads = []
     for text, urls in clusters.items():
         urls.sort()
-        heads.append((urls[0], text))
-        for other in urls[1:]:
-            expected[(urls[0], other)] = 1.0
+        heads.append((urls, text))
+        for x in range(len(urls)):
+            for y in range(x + 1, len(urls)):
+                expected[(urls[x], urls[y])] = 1.0
     hasher = MinHasher(num_perm=128)
     buckets: dict[int, list[int]] = {}
     for d, (_, text) in enumerate(heads):
@@ -236,12 +238,13 @@ def test_ngram_pairs_match_pure_python_oracle(ray_session):
         for x in range(len(members)):
             for y in range(x + 1, len(members)):
                 i, j = members[x], members[y]
-                a, b = sorted((heads[i][0], heads[j][0]))
-                if (a, b) in expected:
+                jac = jaccard(shingle[i], shingle[j])
+                if jac < threshold:
                     continue
-                jac = round(jaccard(shingle[i], shingle[j]), 6)
-                if jac >= threshold:
-                    expected[(a, b)] = jac
+                for ua in heads[i][0]:
+                    for ub in heads[j][0]:
+                        a, b = sorted((ua, ub))
+                        expected.setdefault((a, b), jac)
 
     ds = ray.data.from_items(rows, override_num_blocks=3)
     got = {

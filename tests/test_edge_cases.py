@@ -181,6 +181,7 @@ class TestNullTextRows:
             "dedup_page_lines", "bpe_token_counts", "vocab_top_tokens",
             "lang_profile", "decontaminate_substring", "decontaminate_ngram",
             "minhash_pairs", "simhash_pairs", "tfidf_top_terms",
+            "ngram_jaccard_pairs", "pack_sequences", "dup_clusters",
         ]
         for name in names:
             rows = QUERIES[name](null_doc_dir).take_all()

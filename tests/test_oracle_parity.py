@@ -53,6 +53,9 @@ QUERY_SLICE = [
     "events_hopping",
     "lang_source_pivot",
     "sample_per_lang",
+    "dup_clusters",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
 ]
 
 
