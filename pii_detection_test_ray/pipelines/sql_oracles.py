@@ -9,6 +9,13 @@ IMPORTANT dtype contract: DuckDB returns ``sum(BIGINT)`` as HUGEINT, which
 driver's typed value-hash fails even when values are equal.  Every ``sum``
 here is therefore wrapped in ``CAST(... AS BIGINT)``.  ``count(*)`` is
 already BIGINT and needs no cast.
+
+NULL-text contract: the engine treats a NULL text as the empty string
+everywhere (repo-wide invariant), so every text expression here reads
+``coalesce(text, '')`` — a bare ``regexp_extract_all(text, ...)`` would
+yield NULL token lists and silently diverge on real crawl parquet (which
+routinely carries null text). Pinned by the null-corpus DuckDB compare in
+tests/test_edge_cases.py.
 """
 
 ORACLES: dict[str, str] = {
@@ -24,8 +31,8 @@ ORACLES: dict[str, str] = {
         WITH feats AS (
             SELECT source,
                    n_chars,
-                   len(regexp_extract_all(text, '[^\\s]+')) AS n_words,
-                   len(list_distinct(regexp_extract_all(text, '[^\\s]+')))
+                   len(regexp_extract_all(coalesce(text, ''), '[^\\s]+')) AS n_words,
+                   len(list_distinct(regexp_extract_all(coalesce(text, ''), '[^\\s]+')))
                        AS n_distinct
             FROM documents
         )
@@ -43,17 +50,17 @@ ORACLES: dict[str, str] = {
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id
         FROM documents
-        GROUP BY text
+        GROUP BY coalesce(text, '')
     """,
     "fingerprints": """
         SELECT doc_id,
-               md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) AS fingerprint
+               md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')) AS fingerprint
         FROM documents
     """,
     "bpe_token_counts": """
         SELECT lang,
                CAST(sum(len(regexp_extract_all(
-                   text,
+                   coalesce(text, ''),
                    ' ?[A-Za-z가-힣]+| ?[0-9]+| ?[^ \\t\\n\\r\\x0b\\x0cA-Za-z가-힣0-9]+'
                ))) AS BIGINT) AS bpe_tokens,
                count(*) AS n_docs
@@ -67,7 +74,7 @@ ORACLES: dict[str, str] = {
             SELECT doc_id, term, count(*) AS tf
             FROM (
                 SELECT doc_id,
-                       unnest(regexp_extract_all(text, '[^\\s]+')) AS term
+                       unnest(regexp_extract_all(coalesce(text, ''), '[^\\s]+')) AS term
                 FROM documents
             )
             GROUP BY doc_id, term
@@ -90,8 +97,8 @@ ORACLES: dict[str, str] = {
     """,
     "gopher_repetition": """
         WITH toks AS (
-            SELECT doc_id, length(text) AS n_chars,
-                   regexp_extract_all(text, '[^\\s]+') AS tk
+            SELECT doc_id, length(coalesce(text, '')) AS n_chars,
+                   regexp_extract_all(coalesce(text, ''), '[^\\s]+') AS tk
             FROM documents
         ),
         g2 AS (
@@ -128,7 +135,7 @@ ORACLES: dict[str, str] = {
     """,
     "crossdoc_ngrams": """
         WITH toks AS (
-            SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS tk
+            SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[^\\s]+') AS tk
             FROM documents
         ),
         g5 AS (
@@ -145,7 +152,7 @@ ORACLES: dict[str, str] = {
     """,
     "vocab_top_tokens": """
         WITH toks AS (
-            SELECT unnest(regexp_extract_all(text, '[^\\s]+')) AS token
+            SELECT unnest(regexp_extract_all(coalesce(text, ''), '[^\\s]+')) AS token
             FROM documents
         )
         SELECT token, CAST(count(*) AS BIGINT) AS n
@@ -157,7 +164,7 @@ ORACLES: dict[str, str] = {
     "token_counts": """
         WITH toks AS (
             SELECT source,
-                   len(regexp_extract_all(text, '[^\\s]+')) AS n_tokens
+                   len(regexp_extract_all(coalesce(text, ''), '[^\\s]+')) AS n_tokens
             FROM documents
         )
         SELECT source,
@@ -169,8 +176,8 @@ ORACLES: dict[str, str] = {
     """,
     "symbol_stats": """
         SELECT source,
-               CAST(sum(length(regexp_replace(text, '[[:alnum:][:space:]]', '', 'g'))) AS BIGINT) AS n_symbols,
-               CAST(sum(length(text)) AS BIGINT) AS n_chars,
+               CAST(sum(length(regexp_replace(coalesce(text, ''), '[[:alnum:][:space:]]', '', 'g'))) AS BIGINT) AS n_symbols,
+               CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
                count(*) AS n_docs
         FROM documents
         GROUP BY source
@@ -178,22 +185,22 @@ ORACLES: dict[str, str] = {
     "deterministic_sample": """
         SELECT doc_id
         FROM documents
-        WHERE md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) LIKE '0%'
+        WHERE md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')) LIKE '0%'
     """,
     "decontaminate_substring": """
         WITH bench AS (
-            SELECT DISTINCT substr(trim(text, ' '), 1, 24) AS phrase
+            SELECT DISTINCT substr(trim(coalesce(text, ''), ' '), 1, 24) AS phrase
             FROM documents
-            WHERE md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) LIKE '0%'
-              AND length(trim(text, ' ')) >= 24
+            WHERE md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')) LIKE '0%'
+              AND length(trim(coalesce(text, ''), ' ')) >= 24
         ),
         corpus AS (
             SELECT doc_id, text
             FROM documents
-            WHERE md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) NOT LIKE '0%'
+            WHERE md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')) NOT LIKE '0%'
         )
         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
-        FROM corpus c JOIN bench b ON contains(c.text, b.phrase)
+        FROM corpus c JOIN bench b ON contains(coalesce(c.text, ''), b.phrase)
         GROUP BY c.doc_id
     """,
     # Hash-free formulation of the token-8-gram overlap: n-grams as
@@ -203,14 +210,14 @@ ORACLES: dict[str, str] = {
     # distinct grams); bench grams are distinct.
     "decontaminate_ngram": """
         WITH corpus AS (
-            SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS tk
+            SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[^\\s]+') AS tk
             FROM documents
-            WHERE md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) NOT LIKE '0%'
+            WHERE md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')) NOT LIKE '0%'
         ),
         bench AS (
-            SELECT regexp_extract_all(text, '[^\\s]+') AS tk
+            SELECT regexp_extract_all(coalesce(text, ''), '[^\\s]+') AS tk
             FROM documents
-            WHERE md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) LIKE '0%'
+            WHERE md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')) LIKE '0%'
         ),
         bench_g AS (
             SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS gram
@@ -239,7 +246,7 @@ ORACLES: dict[str, str] = {
                                          || chr(12)) = ''
                                  OR list_position(lines, l) = i))
                     AS BIGINT) AS n_removed
-        FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+        FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS lines
               FROM documents)
     """,
     # Exact all-pairs 3-gram Jaccard, mirroring the engine's inverted-index
@@ -249,7 +256,7 @@ ORACLES: dict[str, str] = {
     # jaccard = shared / (|A|+|B|-shared) as one exact int/int division.
     "jaccard_pairs_exact": """
         WITH tk AS (
-            SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS t
+            SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[^\\s]+') AS t
             FROM documents
         ),
         grams AS (
@@ -362,7 +369,7 @@ ORACLES: dict[str, str] = {
     # it); min(r) per node = the component's smallest doc_id.
     "dup_clusters": """
         WITH RECURSIVE tk AS (
-            SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS t
+            SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[^\\s]+') AS t
             FROM documents
         ),
         grams AS (
@@ -407,7 +414,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": """
         SELECT lang, doc_id
         FROM documents
-        WHERE substr(md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')), 1, 4)
+        WHERE substr(md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')), 1, 4)
               < CASE WHEN lang = 'ko' THEN '4000' ELSE '1000' END
     """,
     "top_longest": """
@@ -437,10 +444,10 @@ ORACLES: dict[str, str] = {
     """,
     "sample_per_lang": """
         SELECT lang, doc_id,
-               md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')) AS fp,
+               md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')) AS fp,
                CAST(row_number() OVER (
                    PARTITION BY lang
-                   ORDER BY md5(regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')),
+                   ORDER BY md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')),
                             doc_id
                ) AS BIGINT) AS rank
         FROM documents

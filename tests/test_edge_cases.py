@@ -155,16 +155,31 @@ class TestNullTextRows:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        # Docs 5-7 keep the non-null queries non-vacuous next to the null
+        # rows (docs ≥5 tokens for cross-doc 5-grams; doc 7's fingerprint
+        # starts with '0' so the deterministic samples select something) —
+        # an engine Dataset that returns 0 rows loses its schema and the
+        # cross-engine compare below would flag columns, not semantics.
+        long_a = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+        long_b = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do variant 11"
         table = pa.table(
             {
-                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
                 "text": pa.array(
-                    ["alpha beta gamma delta", None, "", "alpha beta gamma delta"],
+                    [
+                        "alpha beta gamma delta", None, "",
+                        "alpha beta gamma delta", long_a, long_a, long_b,
+                    ],
                     pa.string(),
                 ),
-                "lang": pa.array(["en", "en", "ko", "en"], pa.string()),
-                "source": pa.array(["web"] * 4, pa.string()),
-                "n_chars": pa.array([22, 0, 0, 22], pa.int64()),
+                "lang": pa.array(
+                    ["en", "en", "ko", "en", "en", "ko", "en"], pa.string()
+                ),
+                "source": pa.array(["web"] * 7, pa.string()),
+                "n_chars": pa.array(
+                    [22, 0, 0, 22, len(long_a), len(long_a), len(long_b)],
+                    pa.int64(),
+                ),
             }
         )
         pq.write_table(table, tmp_path / "documents.parquet")
@@ -186,6 +201,38 @@ class TestNullTextRows:
         for name in names:
             rows = QUERIES[name](null_doc_dir).take_all()
             assert isinstance(rows, list), name
+
+    def test_null_text_oracles_match_duckdb(self, ray_session, null_doc_dir):
+        """The 'null text behaves as empty' invariant must hold CROSS-ENGINE,
+        not just not-crash: every SQL-paired text query is hash-compared
+        against its DuckDB oracle on a corpus containing a NULL text row
+        (round-3 advice: oracles without coalesce(text,'') yield NULL token
+        lists and diverge exactly here)."""
+        duckdb = pytest.importorskip("duckdb")
+
+        from tools.check_correctness import compare, to_pandas
+
+        from pii_detection_test_ray.pipelines.queries import QUERIES
+        from pii_detection_test_ray.pipelines.sql_oracles import ORACLES
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{null_doc_dir}/documents.parquet')"
+        )
+        names = [
+            "fingerprints", "token_counts", "quality_stats",
+            "gopher_repetition", "crossdoc_ngrams", "stratified_sample",
+            "dedup_exact", "dedup_page_lines", "vocab_top_tokens",
+            "tfidf_top_terms", "jaccard_pairs_exact", "dup_clusters",
+            "ngram_jaccard_pairs", "pack_sequences",
+        ]
+        problems = []
+        for name in names:
+            got = to_pandas(QUERIES[name](null_doc_dir))
+            exp = con.execute(ORACLES[name]).fetchdf()
+            problems += [(name, p) for p in compare(name, got, exp)]
+        assert problems == []
 
     def test_null_behaves_as_empty_string(self, ray_session, null_doc_dir):
         from pii_detection_test_ray.pipelines.queries import QUERIES
