@@ -19,14 +19,6 @@ tests/test_edge_cases.py.
 """
 
 ORACLES: dict[str, str] = {
-    "lang_profile": """
-        SELECT lang,
-               count(*) AS n_docs,
-               CAST(sum(n_chars) AS BIGINT) AS total_chars,
-               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
-        FROM documents
-        GROUP BY lang
-    """,
     "quality_stats": """
         WITH feats AS (
             SELECT source,
@@ -56,16 +48,6 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')) AS fingerprint
         FROM documents
-    """,
-    "bpe_token_counts": """
-        SELECT lang,
-               CAST(sum(len(regexp_extract_all(
-                   coalesce(text, ''),
-                   ' ?[A-Za-z가-힣]+| ?[0-9]+| ?[^ \\t\\n\\r\\x0b\\x0cA-Za-z가-힣0-9]+'
-               ))) AS BIGINT) AS bpe_tokens,
-               count(*) AS n_docs
-        FROM documents
-        GROUP BY lang
     """,
     # Score is tf ÷ df computed as one IEEE double division of two exact
     # integers on both engines — bit-identical, unlike a transcendental idf.
@@ -164,74 +146,129 @@ ORACLES: dict[str, str] = {
     "token_counts": """
         WITH toks AS (
             SELECT source,
-                   len(regexp_extract_all(coalesce(text, ''), '[^\\s]+')) AS n_tokens
+                   len(regexp_extract_all(coalesce(text, ''), '[^\\s]+')) AS n_tokens,
+                   len(regexp_extract_all(
+                       coalesce(text, ''),
+                       ' ?[A-Za-z가-힣]+| ?[0-9]+| ?[^ \\t\\n\\r\\x0b\\x0cA-Za-z가-힣0-9]+'
+                   )) AS bpe
             FROM documents
         )
         SELECT source,
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                max(n_tokens) AS max_tokens,
+               CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
                count(*) AS n_docs
         FROM toks
         GROUP BY source
     """,
-    "symbol_stats": """
-        SELECT source,
-               CAST(sum(length(regexp_replace(coalesce(text, ''), '[[:alnum:][:space:]]', '', 'g'))) AS BIGINT) AS n_symbols,
-               CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
-               count(*) AS n_docs
+    "doc_samples": """
+        SELECT 'stratified' AS method, lang, doc_id
         FROM documents
-        GROUP BY source
-    """,
-    "deterministic_sample": """
-        SELECT doc_id
-        FROM documents
-        WHERE md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')) LIKE '0%'
-    """,
-    "decontaminate_substring": """
-        WITH bench AS (
-            SELECT DISTINCT substr(trim(coalesce(text, ''), ' '), 1, 24) AS phrase
+        WHERE substr(md5(regexp_replace(trim(coalesce(text, ''), ' '),
+                                        '\\s+', ' ', 'g')), 1, 4)
+              < CASE WHEN lang = 'ko' THEN '4000' ELSE '1000' END
+        UNION ALL
+        SELECT 'per_lang_k' AS method, lang, doc_id
+        FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(regexp_replace(trim(coalesce(text, ''), ' '),
+                                                   '\\s+', ' ', 'g')),
+                                doc_id
+                   ) AS rank
             FROM documents
-            WHERE md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')) LIKE '0%'
-              AND length(trim(coalesce(text, ''), ' ')) >= 24
+        )
+        WHERE rank <= 3
+    """,
+    "orders_exists_split": """
+        SELECT o_orderstatus,
+               o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_acctbal > 5000) AS matched,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS price_cents,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    # Tumbling ∪ hopping in one table; time_bucket's 2000-01-01 origin is
+    # 30-min-aligned with the epoch grid the engine floors to.
+    "events_windows": """
+        WITH e AS (
+            SELECT event_type,
+                   ts,
+                   time_bucket(INTERVAL 30 MINUTE, ts) AS b,
+                   CAST(round(value * 1000000, 0) AS BIGINT) AS vm
+            FROM events
+        ),
+        hop AS (
+            SELECT event_type, b AS window_start, vm FROM e
+            UNION ALL
+            SELECT event_type, b - INTERVAL 30 MINUTE, vm FROM e
+        )
+        SELECT 'tumbling' AS window_kind, event_type,
+               date_trunc('hour', ts) AS window_start,
+               count(*) AS n_events,
+               CAST(sum(vm) AS BIGINT) AS total_value_micros
+        FROM e
+        GROUP BY event_type, date_trunc('hour', ts)
+        UNION ALL
+        SELECT 'hopping' AS window_kind, event_type, window_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(vm) AS BIGINT) AS total_value_micros
+        FROM hop
+        GROUP BY event_type, window_start
+    """,
+    # Both decontamination variants (exact 24-char phrase; token-8-gram
+    # overlap on n-gram STRINGS — hash-free, see q_decontaminate).
+    "decontaminate": """
+        WITH bench AS (
+            SELECT doc_id, coalesce(text, '') AS text
+            FROM documents
+            WHERE md5(regexp_replace(trim(coalesce(text, ''), ' '),
+                                     '\\s+', ' ', 'g')) LIKE '0%'
         ),
         corpus AS (
-            SELECT doc_id, text
+            SELECT doc_id, coalesce(text, '') AS text
             FROM documents
-            WHERE md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')) NOT LIKE '0%'
-        )
-        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
-        FROM corpus c JOIN bench b ON contains(coalesce(c.text, ''), b.phrase)
-        GROUP BY c.doc_id
-    """,
-    # Hash-free formulation of the token-8-gram overlap: n-grams as
-    # space-joined STRINGS (injective — tokens carry no whitespace), so the
-    # engine's 64-bit hash path diverges from this only on a hash collision.
-    # Corpus grams keep all positions (the engine counts positions, not
-    # distinct grams); bench grams are distinct.
-    "decontaminate_ngram": """
-        WITH corpus AS (
-            SELECT doc_id, regexp_extract_all(coalesce(text, ''), '[^\\s]+') AS tk
-            FROM documents
-            WHERE md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')) NOT LIKE '0%'
+            WHERE md5(regexp_replace(trim(coalesce(text, ''), ' '),
+                                     '\\s+', ' ', 'g')) NOT LIKE '0%'
         ),
-        bench AS (
-            SELECT regexp_extract_all(coalesce(text, ''), '[^\\s]+') AS tk
-            FROM documents
-            WHERE md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')) LIKE '0%'
+        phrases AS (
+            SELECT DISTINCT substr(trim(text, ' '), 1, 24) AS phrase
+            FROM bench
+            WHERE length(trim(text, ' ')) >= 24
+        ),
+        sub AS (
+            SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM corpus c JOIN phrases b ON contains(c.text, b.phrase)
+            GROUP BY c.doc_id
+        ),
+        bench_tk AS (
+            SELECT regexp_extract_all(text, '[^\\s]+') AS tk FROM bench
+        ),
+        corpus_tk AS (
+            SELECT doc_id, regexp_extract_all(text, '[^\\s]+') AS tk
+            FROM corpus
         ),
         bench_g AS (
             SELECT DISTINCT array_to_string(tk[i:i+7], ' ') AS gram
-            FROM bench,
+            FROM bench_tk,
                  LATERAL (SELECT unnest(range(1, greatest(len(tk) - 6, 1))) AS i)
         ),
         corpus_g AS (
             SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS gram
-            FROM corpus,
+            FROM corpus_tk,
                  LATERAL (SELECT unnest(range(1, greatest(len(tk) - 6, 1))) AS i)
+        ),
+        ngr AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM corpus_g JOIN bench_g USING (gram)
+            GROUP BY doc_id
         )
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-        FROM corpus_g JOIN bench_g USING (gram)
-        GROUP BY doc_id
+        SELECT 'substring' AS method, doc_id, n FROM sub
+        UNION ALL
+        SELECT 'ngram8' AS method, doc_id, n FROM ngr
     """,
     "dedup_page_lines": """
         SELECT doc_id,
@@ -411,12 +448,6 @@ ORACLES: dict[str, str] = {
         FROM reach
         GROUP BY node
     """,
-    "stratified_sample": """
-        SELECT lang, doc_id
-        FROM documents
-        WHERE substr(md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')), 1, 4)
-              < CASE WHEN lang = 'ko' THEN '4000' ELSE '1000' END
-    """,
     "top_longest": """
         SELECT doc_id, n_chars
         FROM documents
@@ -434,44 +465,16 @@ ORACLES: dict[str, str] = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         GROUP BY l_returnflag, l_linestatus
     """,
-    "orders_by_segment": """
-        SELECT c.c_mktsegment,
-               count(*) AS n_orders,
-               CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
-        FROM orders o
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        GROUP BY c.c_mktsegment
-    """,
-    "sample_per_lang": """
-        SELECT lang, doc_id,
-               md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')) AS fp,
-               CAST(row_number() OVER (
-                   PARTITION BY lang
-                   ORDER BY md5(regexp_replace(trim(coalesce(text, ''), ' '), '\\s+', ' ', 'g')),
-                            doc_id
-               ) AS BIGINT) AS rank
-        FROM documents
-        QUALIFY rank <= 3
-    """,
     "lang_source_pivot": """
-        PIVOT documents ON source USING count(*) GROUP BY lang
-    """,
-    "quantiles_cont": """
-        SELECT lang,
-               percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars)
-                   AS median_cont,
-               percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars)
-                   AS p75_cont,
-               CAST(count(*) AS BIGINT) AS n_docs
-        FROM documents
-        GROUP BY lang
-    """,
-    "sources_per_lang": """
-        SELECT lang,
-               string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
-               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
-        FROM documents
-        GROUP BY lang
+        WITH p AS (PIVOT documents ON source USING count(*) GROUP BY lang),
+        s AS (
+            SELECT lang,
+                   string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM documents
+            GROUP BY lang
+        )
+        SELECT p.*, s.sources, s.n_sources FROM p JOIN s USING (lang)
     """,
     "orders_monthly_dense": """
         WITH m AS (
@@ -594,6 +597,10 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS median_chars,
                CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)
                     AS BIGINT) AS p90_chars,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars)
+                   AS median_cont,
+               percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars)
+                   AS p75_cont,
                CAST(count(*) AS BIGINT) AS n_docs
         FROM documents
         GROUP BY lang
@@ -618,83 +625,6 @@ ORACLES: dict[str, str] = {
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name
-    """,
-    "parts_by_brand": """
-        SELECT p_brand,
-               CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents,
-               CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size,
-               count(*) AS n_parts
-        FROM part
-        GROUP BY p_brand
-    """,
-    "supplier_balances": """
-        SELECT n.n_name,
-               CAST(sum(CAST(round(s.s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents,
-               count(*) AS n_suppliers
-        FROM supplier s
-        JOIN nation n ON s.s_nationkey = n.n_nationkey
-        GROUP BY n.n_name
-    """,
-    "order_priority_revenue": """
-        SELECT o.o_orderpriority,
-               CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
-                        * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS revenue_u,
-               count(*) AS n_items
-        FROM lineitem l
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-        GROUP BY o.o_orderpriority
-    """,
-    "orders_semi_join": """
-        SELECT o_orderstatus,
-               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents,
-               count(*) AS n_orders
-        FROM orders
-        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
-        GROUP BY o_orderstatus
-    """,
-    "orders_anti_join": """
-        SELECT count(*) AS n_orders
-        FROM orders
-        WHERE o_custkey NOT IN (
-            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        )
-    """,
-    "orders_by_month": """
-        SELECT date_trunc('month', o_orderdate) AS order_month,
-               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
-               count(*) AS n_orders
-        FROM orders
-        GROUP BY date_trunc('month', o_orderdate)
-    """,
-    "part_size_histogram": """
-        SELECT CAST(p_size AS BIGINT) AS p_size,
-               count(*) AS n_parts
-        FROM part
-        GROUP BY p_size
-    """,
-    "top_spenders": """
-        SELECT o_custkey,
-               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
-               count(*) AS n_orders
-        FROM orders
-        GROUP BY o_custkey
-        ORDER BY total_cents DESC, o_custkey
-        LIMIT 10
-    """,
-    "events_span": """
-        SELECT event_type,
-               min(ts) AS first_ts,
-               max(ts) AS last_ts,
-               count(*) AS n_events
-        FROM events
-        GROUP BY event_type
-    """,
-    "acctbal_sign_stats": """
-        SELECT CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS bal_sign,
-               CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS total_bal_cents,
-               count(*) AS n_customers
-        FROM customer
-        GROUP BY 1
     """,
     "events_asof_orders": """
         WITH o1 AS (
@@ -731,43 +661,6 @@ ORACLES: dict[str, str] = {
         FROM events e
         JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         GROUP BY b.band
-    """,
-    "events_rollup": """
-        SELECT event_type,
-               count(*) AS n_events,
-               count(DISTINCT user_id) AS n_users,
-               CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS total_value_micros
-        FROM events
-        GROUP BY event_type
-    """,
-    "events_windowed": """
-        SELECT event_type,
-               date_trunc('hour', ts) AS window_start,
-               count(*) AS n_events,
-               CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT) AS total_value_micros
-        FROM events
-        GROUP BY event_type, date_trunc('hour', ts)
-    """,
-    # Hopping windows as UNION ALL of the two covering 30-min grid starts
-    # (time_bucket's 2000-01-01 origin is 30-min-aligned with the epoch
-    # grid the engine floors to, so the buckets agree).
-    "events_hopping": """
-        WITH e AS (
-            SELECT event_type,
-                   time_bucket(INTERVAL 30 MINUTE, ts) AS b,
-                   CAST(round(value * 1000000, 0) AS BIGINT) AS vm
-            FROM events
-        ),
-        w AS (
-            SELECT event_type, b AS window_start, vm FROM e
-            UNION ALL
-            SELECT event_type, b - INTERVAL 30 MINUTE, vm FROM e
-        )
-        SELECT event_type, window_start,
-               CAST(count(*) AS BIGINT) AS n_events,
-               CAST(sum(vm) AS BIGINT) AS total_value_micros
-        FROM w
-        GROUP BY event_type, window_start
     """,
     "sessionize": """
         WITH ordered AS (

@@ -3,7 +3,7 @@
 Hash-based sampling replaces seeded random sampling at scale: membership
 depends only on row CONTENT, so results are reproducible across engines,
 cluster sizes, and partitionings — and SQL-verifiable. (The engine-wide
-rule; `q_deterministic_sample` is the unstratified sibling.)
+rule; the md5-prefix predicate doubles as the bench split elsewhere.)
 """
 
 from __future__ import annotations

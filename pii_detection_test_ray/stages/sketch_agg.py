@@ -4,7 +4,7 @@ quantiles, and heavy hitters.
 The mergeable-sketch pattern: one serialized sketch per key per batch (the
 combiner), merged in a tiny groupby — the shuffle carries ``keys × blocks``
 small sketches instead of every row. This is the scale path;
-``q_events_rollup`` keeps the exact count-distinct for oracle comparison.
+``q_exact_distinct_users`` keeps the exact count-distinct for oracle comparison.
 """
 
 from __future__ import annotations

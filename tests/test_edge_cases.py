@@ -190,13 +190,12 @@ class TestNullTextRows:
 
         # every documents-only text operator that loops over the text column
         names = [
-            "fingerprints", "token_counts", "quality_stats", "symbol_stats",
-            "gopher_repetition", "crossdoc_ngrams", "deterministic_sample",
-            "stratified_sample", "doc_signatures", "dedup_exact",
-            "dedup_page_lines", "bpe_token_counts", "vocab_top_tokens",
-            "lang_profile", "decontaminate_substring", "decontaminate_ngram",
-            "minhash_pairs", "simhash_pairs", "tfidf_top_terms",
-            "ngram_jaccard_pairs", "pack_sequences", "dup_clusters",
+            "fingerprints", "token_counts", "quality_stats",
+            "gopher_repetition", "crossdoc_ngrams", "doc_samples",
+            "dedup_exact", "dedup_page_lines", "vocab_top_tokens",
+            "decontaminate", "minhash_pairs", "simhash_pairs",
+            "tfidf_top_terms", "ngram_jaccard_pairs", "pack_sequences",
+            "dup_clusters",
         ]
         for name in names:
             rows = QUERIES[name](null_doc_dir).take_all()
@@ -222,10 +221,10 @@ class TestNullTextRows:
         )
         names = [
             "fingerprints", "token_counts", "quality_stats",
-            "gopher_repetition", "crossdoc_ngrams", "stratified_sample",
+            "gopher_repetition", "crossdoc_ngrams", "doc_samples",
             "dedup_exact", "dedup_page_lines", "vocab_top_tokens",
             "tfidf_top_terms", "jaccard_pairs_exact", "dup_clusters",
-            "ngram_jaccard_pairs", "pack_sequences",
+            "ngram_jaccard_pairs", "pack_sequences", "decontaminate",
         ]
         problems = []
         for name in names:

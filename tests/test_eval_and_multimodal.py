@@ -149,14 +149,18 @@ def test_audio_features_and_frames_query(ray_session):
         assert r["n_samples"] > 0
         assert 0.0 <= r["mean_amplitude"] <= r["rms_amplitude"] <= 128.0
 
-    from pii_detection_test_ray.pipelines.queries import q_multimodal_frames
+    from pii_detection_test_ray.pipelines.queries import q_multimodal_report
 
-    rows = q_multimodal_frames("unused")
-    df = rows.to_pandas()
-    assert set(df["metric"]) == {"frame_checksum", "n_samples"}
-    assert (df[df["metric"] == "n_samples"]["value"] > 0).all()
+    df = q_multimodal_report("unused").to_pandas()
+    assert set(df["section"]) == {
+        "image_features", "video_frames", "audio_features"
+    }
+    audio = df[(df["section"] == "audio_features") & (df["metric"] == "n_samples")]
+    assert (audio["value_i"] > 0).all() and len(audio) == 16
     # flat-map shape: more frame rows than input videos
-    assert (df["metric"] == "frame_checksum").sum() > 16
+    assert (
+        (df["section"] == "video_frames") & (df["metric"] == "frame_checksum")
+    ).sum() > 16
 
 
 class TestRealDecoderEscapeHatch:

@@ -18,45 +18,17 @@ pytestmark = [
     pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent"),
 ]
 
-# Fast, shape-diverse slice: combiner groupby, salted dedup, row-wise map,
-# wide agg + filter, per-key sessionization, ANN top-k, as-of join, range
-# join, exact count-distinct, temporal rollup.
-QUERY_SLICE = [
-    "lang_profile",
-    "dedup_exact",
-    "fingerprints",
-    "lineitem_rollup",
-    "sessionize",
-    "knn_cosine",
-    "parts_by_brand",
-    "events_asof_orders",
-    "value_bands",
-    "events_rollup",
-    "orders_by_month",
-    "decontaminate_substring",
-    "dedup_page_lines",
-    "bpe_token_counts",
-    "vocab_top_tokens",
-    "jaccard_pairs_exact",
-    "customer_order_counts",
-    "exact_quantiles",
-    "grouping_rollup",
-    "events_value_stats",
-    "adaptive_quality_gate",
-    "exact_distinct_users",
-    "running_user_totals",
-    "json_props_rollup",
-    "fuzzy_supplier_pairs",
-    "sources_per_lang",
-    "orders_monthly_dense",
-    "quantiles_cont",
-    "events_hopping",
-    "lang_source_pivot",
-    "sample_per_lang",
-    "dup_clusters",
-    "ngram_jaccard_pairs",
-    "pack_sequences",
-]
+# Since the round-4 consolidation the registry is 48 entries with 36
+# SQL-paired — small enough to gate EVERY oracle pair here at sf0.001 (no
+# curated slice to drift out of date; the sf0.01 sweep stays in
+# tools/check_correctness.py).
+def _all_paired():
+    from pii_detection_test_ray.pipelines.sql_oracles import ORACLES
+
+    return sorted(ORACLES)
+
+
+QUERY_SLICE = _all_paired()
 
 
 @pytest.fixture(scope="module")
