@@ -259,16 +259,17 @@ def q_tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
     division — no transcendental idf, so the value hash matches DuckDB
     bit-for-bit; same ordering intuition: rare-elsewhere, frequent-here).
 
-    The inverted-index build shape, end to end scale-safe:
-    (doc, term, tf) pairs stream map-only → df comes from per-batch
-    (term, count) combiner partials + a small groupby (pairs are distinct
-    per (doc, term) by construction, so row counts per term ARE document
-    frequencies under ANY batching; the exchange is bounded by
-    vocabulary × blocks, never a token stream) → pairs ⋈ df via the bucketed hash join (df can be
-    vocabulary-sized at 100 TB — too big to broadcast) → coarse-bucketed
-    per-doc top-k (one task per hash bucket, no per-group Python)."""
+    Single-pass inverted-index shape, end to end scale-safe: (doc, term,
+    tf) pairs stream map-only, then ONE exchange co-locates each term's
+    rows by term hash — and because pairs are distinct per (doc, term) by
+    construction, the document frequency of a term is simply its row
+    count INSIDE its bucket (one bincount over factorized term codes), so
+    scoring needs no df table, no join, and no second consumption of the
+    tokenize pass (round 3 materialized the pairs table for a df-reduce +
+    join plan; computing df where the join would have co-located the rows
+    anyway deletes the materialization AND two whole exchanges) →
+    coarse-bucketed per-doc top-k."""
     from ..functions.quality import tokenize_ws
-    from ..stages.joins import bucketed_hash_join
     from ..stages.windows import top_k_per_group
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -294,39 +295,45 @@ def q_tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    # Checkpointed once to Parquet: BOTH the df reduce and the join probe
-    # consume pairs, and Ray re-executes lineage per consumer — without
-    # this the corpus tokenization (the dominant cost) runs twice. A
-    # parquet round-trip (the curate.py phase pattern) streams, spills to
-    # disk and stays resumable, where a .materialize() would hold the
-    # whole corpus-scale (doc, term, tf) table in the object store.
-    import tempfile
+    from ..functions.hashing import bucket_ids
+    from ..stages.joins import _auto_num_buckets
 
-    from .curate import _checkpoint
+    nb = _auto_num_buckets(ds)
+    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow")
 
-    pairs = _checkpoint(
-        ds.map_batches(tf_pairs, batch_format="pyarrow"),
-        tempfile.mkdtemp(prefix="pdtr_tfidf_"),
-        "pairs",
-    )
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_ids(batch.column("term"), nb)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
 
-    # df via the combiner + coarse-bucket reduce (partial_groupby_sum):
-    # pairs are distinct per (doc, term), so a row count per term IS the
-    # document frequency; the vocabulary-sized key set never hits Ray's
-    # per-key sort-aggregate.
-    from ..stages.shuffle import partial_groupby_sum as _pgs
+    def score_bucket(group: pa.Table) -> pa.Table:
+        from ..functions.hashing import sorted_codes
 
-    df = _rename(_pgs(pairs, ["term"], [], count_as="n"), {"n": "df"})
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": group.column("doc_id"),
+                    "term": group.column("term"),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        code = sorted_codes(group.column("term"))
+        df = np.bincount(code)
+        tf = group.column("tf").to_numpy(zero_copy_only=False)
+        # one IEEE int/int double division — bit-identical to DuckDB's
+        # CAST(tf AS DOUBLE) / df
+        score = tf.astype(np.float64) / df[code].astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id"),
+                "term": group.column("term"),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
 
-    scored = bucketed_hash_join(pairs, df, "term").map_batches(
-        lambda t: t.append_column(
-            "score",
-            pc.divide(
-                pc.cast(t.column("tf"), pa.float64()),
-                pc.cast(t.column("df"), pa.float64()),
-            ),
-        ).select(["doc_id", "term", "score"]),
-        batch_format="pyarrow",
+    scored = (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(score_bucket, batch_format="pyarrow")
     )
     return top_k_per_group(scored, "doc_id", "score", "term", k=3)
 

@@ -46,12 +46,21 @@ def connected_components(
     node_b: str = "id_b",
     max_rounds: int = 50,
     checkpoint_dir: str | None = None,
+    small_threshold: int = 200_000,
 ) -> ray.data.Dataset:
     """(node, component) for every node that appears in ``edges``;
     ``component`` = min node id of the connected component. Nodes with no
     pairs are singleton clusters — callers that want them emit
     (doc_id, doc_id) for ids absent from this output (a left join).
-    Raises if ``max_rounds`` does not reach the fixed point."""
+    Raises if ``max_rounds`` does not reach the fixed point.
+
+    Adaptive like the repo's joins: after the distributed canonical-dedup
+    pass, a pair set of ≤ ``small_threshold`` DISTINCT edges (a few MB —
+    checked, never assumed) collapses on the driver with union-find in one
+    pass; larger pair sets run the iterative distributed loop below. The
+    same small-side-vs-bucketed routing rule as ``stages/joins.hash_join``
+    — each loop round costs several fixed-overhead Ray jobs, which the
+    driver path amortizes away exactly when the data is driver-sized."""
     import pyarrow.compute as pc
 
     from .joins import _auto_num_buckets, bucketed_hash_join
@@ -81,6 +90,12 @@ def connected_components(
         "edges_0",
         nb,
     )
+
+    # take(threshold+1) bounds driver memory whether or not the set is
+    # small; only a genuinely small set is ever fully collected.
+    probe = e.take(small_threshold + 1)
+    if len(probe) <= small_threshold:
+        return ray.data.from_arrow(_union_find_table(probe))
 
     def as_labels(batch: pa.Table) -> pa.Table:
         return pa.concat_tables(
@@ -210,16 +225,15 @@ def connected_components(
             )
             return out.filter(pc.not_equal(lu_, lv_))
 
-        e = _ckpt(
-            coarse_bucketed_groupby(
-                both.map_batches(contract, batch_format="pyarrow"),
-                ["u", "v"],
-                [],
-                num_buckets=nb,
-            ),
-            checkpoint_dir,
-            f"edges_{r}",
-            nb,
+        # Lazy on purpose (no checkpoint): the contracted edge set is
+        # consumed exactly once (next round's relabel join) and its
+        # lineage roots at the checkpointed relabel table, so plan depth
+        # stays one round regardless.
+        e = coarse_bucketed_groupby(
+            both.map_batches(contract, batch_format="pyarrow"),
+            ["u", "v"],
+            [],
+            num_buckets=nb,
         )
 
         s = labels.sum("label")
@@ -233,6 +247,31 @@ def connected_components(
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "component"]),
         batch_format="pyarrow",
+    )
+
+
+def _union_find_table(rows: list[dict]) -> pa.Table:
+    """Driver-side union-find over a small canonical (u, v) edge list —
+    the adaptive small path of ``connected_components``."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(int(r["u"])), find(int(r["v"]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "component": pa.array([find(n) for n in nodes], pa.int64()),
+        }
     )
 
 

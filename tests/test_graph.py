@@ -40,7 +40,9 @@ def _run(edges, **kw):
     }
 
 
-def test_components_random_graph_matches_union_find(ray_session):
+def test_components_random_graph_distributed_matches_union_find(ray_session):
+    """small_threshold=0 forces the iterative distributed loop (the 100-TB
+    path) — contraction + jump + sum-convergence all exercised."""
     rng = random.Random(7)
     edges = [
         e
@@ -49,15 +51,31 @@ def test_components_random_graph_matches_union_find(ray_session):
         )
         if e[0] != e[1]  # self-pairs are not pairs (operator contract)
     ]
-    assert _run(edges) == _union_find(edges)
+    assert _run(edges, small_threshold=0) == _union_find(edges)
 
 
 def test_components_long_chain_converges_fast(ray_session):
-    """A 300-node chain needs ~300 rounds under plain propagation; pointer
-    jumping must close it within the 50-round default (it takes ~log2)."""
+    """A 300-node chain needs ~300 rounds under plain propagation; the
+    distributed loop's contraction + pointer jumping must close it within
+    the 50-round default (it takes ~log2)."""
     edges = [(i, i + 1) for i in range(299)]
-    got = _run(edges)
+    got = _run(edges, small_threshold=0)
     assert got == {i: 0 for i in range(300)}
+
+
+def test_components_small_path_matches_union_find(ray_session):
+    """The adaptive driver-side union-find (pair sets under the checked
+    threshold) must agree with the oracle — and with the distributed loop
+    (same random graph as the distributed test above)."""
+    rng = random.Random(7)
+    edges = [
+        e
+        for e in (
+            (rng.randint(0, 199), rng.randint(0, 199)) for _ in range(150)
+        )
+        if e[0] != e[1]
+    ]
+    assert _run(edges) == _union_find(edges)
 
 
 def test_components_isolated_pairs_and_triangle(ray_session):
