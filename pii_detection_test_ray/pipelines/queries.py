@@ -1288,7 +1288,11 @@ def q_events_asof_orders(sf_dir: str) -> ray.data.Dataset:
     time, rolled up by that order's priority. The right side is deduped to
     one row per (custkey, orderdate) first (max orderkey wins) so the
     at-equal-timestamp winner is deterministic cross-engine — DuckDB's
-    ASOF JOIN tie-break is unspecified."""
+    ASOF JOIN tie-break is unspecified. Uses the single-exchange plan;
+    the hot-key-safe windowed variant (span_hours) is brute-force-pinned
+    in tests/test_asof.py and hash-matched this oracle at sf0.01 during
+    round 4, but costs ~5x here (extra scans + carry exchanges), so the
+    suite keeps the cheap path — flip span_hours for skewed event logs."""
     from ..stages.asof import asof_join, latest_per_key_ts
     from ..stages.shuffle import partial_groupby_sum
 
