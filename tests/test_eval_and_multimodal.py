@@ -256,3 +256,38 @@ class TestRealDecoderEscapeHatch:
         blob = multimodal.make_fake_media("I", 4, 4, 1, seed=3)
         out = batcher(pa.table({"media": pa.array([blob], pa.binary())}))
         assert out.column("img_width").to_pylist() == [4]
+
+
+def test_pii_eval_report_contains_all_sections(ray_session):
+    """The consolidated eval report must carry every section the reference
+    report writer renders (S6) — a melted section silently dropping out
+    would pass the driver's rows-only check, so pin the set here, plus a
+    per-section sanity value."""
+    from pii_detection_test_ray.pipelines.queries import q_pii_eval_report
+
+    df = q_pii_eval_report("unused").to_pandas()
+    assert set(df["section"]) == {
+        "category_rollup", "difficulty_rollup", "confusion_matrix",
+        "precision_ranking", "langid_accuracy", "merge_policy",
+        "worst_failures",
+    }
+    # merge_policy carries all 9 static + 2 learned policies
+    assert df[df["section"] == "merge_policy"]["key"].nunique() == 11
+    # worst_failures keeps k=10 documents
+    assert df[df["section"] == "worst_failures"]["key"].nunique() == 10
+    # ranking is 1..n over the category rollup
+    ranks = df[
+        (df["section"] == "precision_ranking") & (df["metric"] == "rank")
+    ]["value_i"]
+    assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_sketch_profile_contains_all_sketches(ray_session):
+    from pii_detection_test_ray.pipelines.queries import q_sketch_profile
+
+    df = q_sketch_profile("/root/testdata/sf0.001").to_pandas()
+    assert set(df["section"]) == {
+        "hll_distinct", "approx_quantiles", "heavy_hitters"
+    }
+    hll = df[(df["section"] == "hll_distinct") & (df["metric"] == "approx_distinct")]
+    assert (hll["value_i"] > 0).all()
