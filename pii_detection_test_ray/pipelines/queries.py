@@ -995,7 +995,7 @@ def q_adaptive_quality_gate(sf_dir: str) -> ray.data.Dataset:
 
 def q_exact_distinct_users(sf_dir: str) -> ray.data.Dataset:
     """EXACT count-distinct per group — the design sibling of the HLL
-    sketch path (``approx_distinct_users``): two-level aggregation where
+    sketch path (``sketch_profile``'s hll_distinct section): two-level aggregation where
     level 1 dedups (event_type, user_id) pairs with per-batch combining
     (the exchange is bounded by distinct pairs × blocks, not event rows)
     and level 2 counts survivors per type. Exact when you can afford the
@@ -1142,7 +1142,7 @@ def q_grouping_rollup(sf_dir: str) -> pa.Table:
 def q_exact_quantiles(sf_dir: str) -> ray.data.Dataset:
     """EXACT per-group quantiles (percentile_disc semantics) via the
     bounded-domain histogram plan — the exact counterpart to the sketch
-    path (``value_quantiles``): when the value column has bounded
+    path (``sketch_profile``'s approx_quantiles section): when the value column has bounded
     cardinality (doc lengths, scores, sizes), groupby (group, value) with
     combiner partials yields a tiny histogram exchange — groups × distinct
     values rows, independent of corpus row count — and an in-group

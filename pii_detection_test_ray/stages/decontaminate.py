@@ -80,7 +80,7 @@ def bench_corpus_split(
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """Deterministic ~1/16 hash split of a documents table into
     (benchmark, corpus) — the md5-prefix predicate shared with
-    ``deterministic_sample`` so all three SQL oracles stay in lockstep.
+    ``doc_samples``' stratified rates so the SQL oracles stay in lockstep.
     NOTE: the two sides are independent scans of the same lineage (each
     re-reads + re-fingerprints); at real scale the eval set is a separate
     small table, not a split of the corpus, so the double scan is purely a
