@@ -145,10 +145,16 @@ def read_jsonl_pages(paths) -> ray.data.Dataset:
                     col.type
                 ):
                     # Sub-second epoch fractions: round to whole µs before the
-                    # int64 cast (Arrow refuses truncating float casts) and
-                    # null non-finite values instead of raising.
+                    # int64 cast (Arrow refuses truncating float casts), and
+                    # null non-finite OR out-of-int64-range values instead of
+                    # raising — an absurd epoch (1e30) is a bad FIELD, not a
+                    # dead task.
                     us = pc.round(pc.multiply(col.cast(pa.float64()), 1e6))
-                    us = pc.if_else(pc.is_finite(us), us, pa.scalar(None, pa.float64()))
+                    ok = pc.and_(
+                        pc.is_finite(us),
+                        pc.less(pc.abs(us), pa.scalar(9.2e18, pa.float64())),
+                    )
+                    us = pc.if_else(ok, us, pa.scalar(None, pa.float64()))
                     col = us.cast(pa.int64()).cast(pa.timestamp("us"))
                 else:
                     col = _parse_ts_strings(col.cast(pa.string()))

@@ -131,6 +131,9 @@ def _band_rows(
 
 
 _MAX_BUCKET_REPS = 256
+# Loud ceiling on one bucket task's emitted candidate pairs (pair-LISTING
+# operators only; the keep-min dedup path pairs linearly and never nears it).
+_MAX_BUCKET_PAIRS = 5_000_000
 
 
 def _cluster_verify_pairs(
@@ -503,6 +506,23 @@ def _candidates_from_group(group: pa.Table, id_col: str) -> pa.Table:
             clusters.setdefault(sigs[i].tobytes(), []).append(i)
     reps: list[int] = []
     cluster_of: dict[int, list[int]] = {}
+    # Pair-LISTING output is O(m²) by contract, but one bucket task still
+    # must not build an unbounded Python list: cap the PROJECTED emission
+    # loudly (the _MAX_BUCKET_REPS philosophy — beyond this the bucket is
+    # pathological input and the caller wants keep-min dedup, whose
+    # linear cluster pairing never hits this, not an exhaustive listing).
+    sizes = [len(m) for m in clusters.values()]
+    projected = sum(m * (m - 1) // 2 for m in sizes) if band == 0 else 0
+    rep_sizes = sorted(sizes, reverse=True)[:_MAX_BUCKET_REPS]
+    tot = sum(rep_sizes)
+    projected += (tot * tot - sum(m * m for m in rep_sizes)) // 2
+    if projected > _MAX_BUCKET_PAIRS:
+        raise ValueError(
+            f"LSH bucket would emit ~{projected} candidate pairs (> "
+            f"{_MAX_BUCKET_PAIRS}): near-clone-saturated input — use the "
+            "keep-min dedup path (dedup_minhash) or raise the threshold "
+            "instead of exhaustive pair listing"
+        )
     for members in clusters.values():
         members.sort(key=lambda i: ids[i])
         head = members[0]

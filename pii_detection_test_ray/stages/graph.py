@@ -54,6 +54,14 @@ def connected_components(
     (doc_id, doc_id) for ids absent from this output (a left join).
     Raises if ``max_rounds`` does not reach the fixed point.
 
+    ``checkpoint_dir`` is a RESUME TOKEN for one input: completed stages
+    are skipped via `_complete` markers, so reusing a dir with DIFFERENT
+    edges silently replays the previous run's clustering — pass a fresh
+    dir (the default mkdtemp) or clear it between inputs, exactly like
+    ``pipelines/curate.py`` phase checkpoints. On a clean finish the
+    intermediate round files are deleted; only the final labels remain
+    (a crashed run keeps everything for resume).
+
     Adaptive like the repo's joins: after the distributed canonical-dedup
     pass, a pair set of ≤ ``small_threshold`` DISTINCT edges (a few MB —
     checked, never assumed) collapses on the driver with union-find in one
@@ -244,6 +252,15 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )
+    # Clean finish: drop every intermediate round's files so repeated runs
+    # don't accumulate /tmp parquet; the final labels stay readable for the
+    # returned (lazy) dataset. A crashed run keeps everything for resume.
+    import shutil
+
+    keep = f"labels_{r}"
+    for name in os.listdir(checkpoint_dir):
+        if name != keep:
+            shutil.rmtree(os.path.join(checkpoint_dir, name), ignore_errors=True)
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "component"]),
         batch_format="pyarrow",

@@ -153,7 +153,21 @@ def compact_parquet(
     row groups). Discovery is recursive (nested / Hive-partitioned shards
     included); the input is scanned exactly ONCE — the row count comes
     from the written output's parquet footers, not a pre-count pass.
-    Returns {files_in, files_out, rows}."""
+    ``output_dir`` must be fresh (empty/absent — write_parquet APPENDS, so
+    a reused dir would mix runs and corrupt the footer-derived stats) and
+    must not nest under ``input_dir`` (recursive discovery would re-ingest
+    it next run). Returns {files_in, files_out, rows}."""
+    in_abs = os.path.abspath(input_dir)
+    out_abs = os.path.abspath(output_dir)
+    if out_abs == in_abs or out_abs.startswith(in_abs + os.sep):
+        raise ValueError(
+            f"output_dir {output_dir!r} nests under input_dir {input_dir!r}"
+        )
+    if os.path.isdir(output_dir) and os.listdir(output_dir):
+        raise ValueError(
+            f"output_dir {output_dir!r} is not empty — compaction output "
+            "must be a fresh directory (writes append, stats would mix runs)"
+        )
     files = sorted(
         os.path.join(root, f)
         for root, _dirs, names in os.walk(input_dir)

@@ -23,6 +23,18 @@ import pyarrow.compute as pc
 import ray.data
 
 
+def _ts_us_filled(col) -> "np.ndarray":
+    """Timestamp column → int64 µs numpy with NULLS AS EPOCH 0 — the
+    deterministic null-timestamp convention of the windowed per-key
+    operators (a null ts sorts first within its key; real event logs
+    should filter them upstream). Without the fill, int64-with-null
+    becomes float64 NaN in numpy and the window id cast raises."""
+    ts = pc.fill_null(
+        pc.cast(col, pa.timestamp("us")), pa.scalar(0, pa.timestamp("us"))
+    )
+    return ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
 def _finalize_window_agg(agg: "ray.data.Dataset") -> "ray.data.Dataset":
     """Shared post-aggregate finalizer for the window operators: re-cast
     window_start to timestamp[us] AFTER the exchange (it may re-infer at
@@ -124,10 +136,7 @@ def sessionize(
     num_buckets = _num_buckets_for(ds)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        ts = (
-            pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")), pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
+        ts = _ts_us_filled(batch.column(ts_col))
         win = pa.array(ts // span_us, pa.int64())
         out = batch.select([key_col, ts_col]).append_column("__win", win)
         b = bucket_ids_multi([batch.column(key_col), win], num_buckets)
@@ -147,10 +156,7 @@ def sessionize(
                     "n_events": empty,
                 }
             )
-        ts = (
-            pc.cast(pc.cast(group.column(ts_col), pa.timestamp("us")), pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
+        ts = _ts_us_filled(group.column(ts_col))
         code = sorted_codes(group.column(key_col))
         win = group.column("__win").to_numpy(zero_copy_only=False)
         order = np.lexsort((ts, win, code))
@@ -335,10 +341,7 @@ def running_totals(
 
     def per_bucket(group: pa.Table) -> pa.Table:
         n = group.num_rows
-        ts = (
-            pc.cast(pc.cast(group.column(ts_col), pa.timestamp("us")), pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
+        ts = _ts_us_filled(group.column(ts_col))
         from ..functions.hashing import sorted_codes
 
         ids = sorted_codes(group.column(id_col))
@@ -388,7 +391,10 @@ def _running_totals_windowed(
     key_type = sch.field(key_col).type
 
     def tag(batch: pa.Table) -> pa.Table:
-        ts = pc.cast(batch.column(ts_col), pa.timestamp("us"))
+        ts = pc.fill_null(
+            pc.cast(batch.column(ts_col), pa.timestamp("us")),
+            pa.scalar(0, pa.timestamp("us")),
+        )
         win = pa.array(
             ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // span_us,
             pa.int64(),

@@ -411,3 +411,30 @@ def test_embedding_operators_survive_empty_blocks(ray_session):
     assert len(knn_brute_force(ds, queries, k=3).take_all()) == 3
     assert embedding_clusters(ds, n_clusters=2).count() > 0
     embedding_duplicate_pairs(ds, dim=16, threshold=0.99).count()  # no crash
+
+
+def test_candidate_pair_emission_cap_raises_loudly():
+    """A pair-LISTING bucket projected past _MAX_BUCKET_PAIRS must raise
+    with guidance (use keep-min dedup), never build an unbounded pair list
+    in one reducer — the round-4 full-cluster emission reopened the skew
+    hole the rep cap used to close, so the cap moved to projected pairs."""
+    import pyarrow as pa
+
+    from pii_detection_test_ray.stages.dedup import (
+        _MAX_BUCKET_PAIRS,
+        _candidates_from_group,
+    )
+
+    n = 4000  # identical signatures -> C(n,2) ~ 8M > 5M cap
+    sig = list(range(8))
+    group = pa.table(
+        {
+            "band_key": pa.array([7] * n, pa.int64()),
+            "band": pa.array([0] * n, pa.int32()),
+            "url": pa.array([f"u{i}" for i in range(n)], pa.string()),
+            "sig": pa.array([sig] * n, pa.list_(pa.uint64())),
+        }
+    )
+    with pytest.raises(ValueError, match="keep-min"):
+        _candidates_from_group(group, "url")
+    assert _MAX_BUCKET_PAIRS == 5_000_000

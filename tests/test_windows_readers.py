@@ -323,3 +323,39 @@ def test_read_jsonl_pages_hostile_timestamps(ray_session, tmp_path):
     assert rows["u5"] == utc10
     assert rows["u6"] is None
     assert rows["f1"] == utc10.replace(microsecond=250000)
+
+
+def test_windowed_per_key_operators_tolerate_null_ts(ray_session):
+    """Null timestamps behave as epoch 0 (deterministic, documented in
+    _ts_us_filled) in sessionize and BOTH running_totals paths — the
+    lenient crawl reader produces null ts by design, so the default
+    windowed paths must not crash on them (round-4 review finding)."""
+    import pyarrow as pa
+
+    from pii_detection_test_ray.stages.windows import running_totals, sessionize
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array(
+                [datetime(2024, 1, 1), None, datetime(2024, 1, 2)],
+                pa.timestamp("us"),
+            ),
+            "cents": pa.array([5, 7, 9], pa.int64()),
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    sess = {r["user_id"]: r["n_events"] for r in sessionize(ds, "user_id", "ts").take_all()}
+    assert sess == {1: 2, 2: 1}
+    kw = dict(key_col="user_id", ts_col="ts", val_col="cents", id_col="event_id")
+    windowed = {
+        r["event_id"]: r["cum_cents"]
+        for r in running_totals(ds, span_hours=24, **kw).take_all()
+    }
+    plain = {
+        r["event_id"]: r["cum_cents"]
+        for r in running_totals(ds, span_hours=None, **kw).take_all()
+    }
+    # null ts sorts first within its key on both paths
+    assert windowed == plain == {2: 7, 1: 12, 3: 9}
