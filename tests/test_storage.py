@@ -209,3 +209,24 @@ def test_compact_parquet_discovers_nested_shards(ray_session, tmp_path):
     out = tmp_path / "compact"
     stats = compact_parquet(str(src), str(out), target_mb=256)
     assert stats == {"files_in": 6, "files_out": 1, "rows": 6}
+
+
+def test_compact_parquet_guards_output_dir(ray_session, tmp_path):
+    """Non-empty output dirs (appending writes would mix runs into the
+    footer-derived stats) and outputs nested under the input (recursive
+    discovery would re-ingest them) are refused loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pii_detection_test_ray.stages.storage import compact_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pa.table({"k": [1, 2]}), str(src / "a.parquet"))
+    used = tmp_path / "used"
+    used.mkdir()
+    (used / "left.over").write_text("x")
+    with pytest.raises(ValueError, match="not empty"):
+        compact_parquet(str(src), str(used))
+    with pytest.raises(ValueError, match="nests under"):
+        compact_parquet(str(src), str(src / "out"))
