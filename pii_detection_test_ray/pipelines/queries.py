@@ -1012,9 +1012,27 @@ def q_exact_distinct_users(sf_dir: str) -> ray.data.Dataset:
         ["event_type", "user_id"],
         [],
     )
+
+    def count_valid(batch: pa.Table) -> pa.Table:
+        # a NULL user is not a user (SQL count(DISTINCT user_id) skips
+        # NULLs) but its GROUP still exists — count a validity indicator
+        # over the distinct pairs instead of filtering rows out
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "one": pc.cast(
+                    pc.is_valid(batch.column("user_id")), pa.int64()
+                ),
+            }
+        )
+
     return _rename(
-        partial_groupby_sum(distinct, ["event_type"], [], count_as="n"),
-        {"n": "n_users"},
+        partial_groupby_sum(
+            distinct.map_batches(count_valid, batch_format="pyarrow"),
+            ["event_type"],
+            ["one"],
+        ),
+        {"one": "n_users"},
     )
 
 

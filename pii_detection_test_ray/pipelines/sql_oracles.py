@@ -181,10 +181,15 @@ ORACLES: dict[str, str] = {
         )
         WHERE rank <= 3
     """,
+    # EXISTS, not IN: `x IN (set containing NULL)` is NULL for non-members
+    # under SQL three-valued logic, which would mint a third `matched`
+    # group on null-bearing customer keys; EXISTS is two-valued and
+    # matches the engine's semi/anti split exactly.
     "orders_exists_split": """
         SELECT o_orderstatus,
-               o_custkey IN (SELECT c_custkey FROM customer
-                             WHERE c_acctbal > 5000) AS matched,
+               EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = orders.o_custkey
+                         AND c.c_acctbal > 5000) AS matched,
                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
                     AS BIGINT) AS price_cents,
                count(*) AS n_orders
@@ -509,12 +514,14 @@ ORACLES: dict[str, str] = {
         FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         WHERE levenshtein(a.s_name, b.s_name) <= 1
     """,
+    # coalesce: a frame whose values are all NULL sums to NULL in SQL; the
+    # engine's integer contract renders that running total as 0.
     "running_user_totals": """
         SELECT event_id, user_id,
-               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+               CAST(coalesce(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS BIGINT) AS cum_cents
+               ), 0) AS BIGINT) AS cum_cents
         FROM events
     """,
     # Double TRY_CAST mirrors the engine's only-integer-k contract:

@@ -20,6 +20,15 @@ time sub-buckets with boundary hand-off if that ever binds.
 Determinism: when several right rows share (key, ts), cross-engine
 agreement is undefined in SQL — dedupe the right side first;
 ``latest_per_key_ts`` (vectorized, same bucket shape) does exactly that.
+
+Null semantics (verified against DuckDB ASOF JOIN on null-bearing
+tables): a NULL KEY never equals anything (rows drop from matching, and
+under a left join surface unmatched); a NULL TIMESTAMP sorts LAST on both
+sides (DuckDB's merge ordering) — a null-ts left row matches its key's
+overall latest right row (a null-ts right, if one exists, else the
+latest real one), and a null-ts right row is reachable only by null-ts
+lefts. Implemented as a far-future µs sentinel, the same NULLS-LAST
+convention as ``stages/windows``.
 """
 
 from __future__ import annotations
@@ -29,23 +38,30 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+# Shared with stages/windows: null timestamps sort LAST via a huge-but-
+# arithmetic-safe µs sentinel.
+_TS_NULL_SENTINEL_US = 1 << 62
+
 
 def _ts_to_i64(arr) -> np.ndarray:
-    """Temporal/int column → int64 numpy (timestamps in microseconds).
-    Handles DATE columns too (date32 has no direct int64 cast — go through
-    timestamp). Callers must have dropped null entries first: int64-with-
-    null becomes float NaN in numpy, and searchsorted treats NaN as +inf."""
+    """Temporal/int column → int64 numpy (timestamps in microseconds),
+    nulls as the NULLS-LAST sentinel. Handles DATE columns too (date32 has
+    no direct int64 cast — go through timestamp)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_timestamp(arr.type) or pa.types.is_date(arr.type):
         arr = arr.cast(pa.timestamp("us"))
-    return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    arr = arr.cast(pa.int64())
+    arr = pc.fill_null(arr, _TS_NULL_SENTINEL_US)
+    return arr.to_numpy(zero_copy_only=False)
 
 
 def _valid_mask(tbl: pa.Table, key: str, ts_col: str) -> pa.ChunkedArray:
-    """Rows usable in an as-of comparison: non-null key AND non-null ts
-    (SQL semantics — a NULL key never equals, a NULL ts never compares)."""
-    return pc.and_(pc.is_valid(tbl.column(key)), pc.is_valid(tbl.column(ts_col)))
+    """Rows usable in an as-of comparison: non-null KEY (a NULL key never
+    equals). Null timestamps stay — they compare through the NULLS-LAST
+    sentinel, mirroring DuckDB ASOF merge order."""
+    del ts_col
+    return pc.is_valid(tbl.column(key))
 
 
 def _key_codes(*key_arrays: np.ndarray) -> list[np.ndarray]:
@@ -264,11 +280,12 @@ def _make_join_bucket(
 
 
 def _win_ids(tbl: pa.Table, ts_col: str, span_us: int) -> pa.Array:
-    """int64 window ids ts // span (µs, floor). Null ts → window 0 — such
-    rows never match anyway (``_valid_mask`` drops them from comparisons)."""
+    """int64 window ids ts // span (µs, floor). Null ts → the NULLS-LAST
+    sentinel's far-future window, so null-ts rows co-locate there and the
+    carry chain reaches them last — same convention as the plain path."""
     ts = pc.fill_null(
         pc.cast(tbl.column(ts_col), pa.timestamp("us")),
-        pa.scalar(0, pa.timestamp("us")),
+        pa.scalar(_TS_NULL_SENTINEL_US, pa.timestamp("us")),
     )
     return pa.array(
         ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // span_us,

@@ -23,14 +23,22 @@ import pyarrow.compute as pc
 import ray.data
 
 
+# Null timestamps sort LAST within their key (SQL window-function NULLS
+# LAST order — the DuckDB oracles' semantics), via a huge-but-arithmetic-
+# safe µs sentinel: all null rows share one far-future time window, diffs
+# against real timestamps stay well inside int64. One constant shared
+# with the as-of join (same convention, same cross-engine contract).
+from .asof import _TS_NULL_SENTINEL_US  # noqa: E402
+
+
 def _ts_us_filled(col) -> "np.ndarray":
-    """Timestamp column → int64 µs numpy with NULLS AS EPOCH 0 — the
-    deterministic null-timestamp convention of the windowed per-key
-    operators (a null ts sorts first within its key; real event logs
-    should filter them upstream). Without the fill, int64-with-null
-    becomes float64 NaN in numpy and the window id cast raises."""
+    """Timestamp column → int64 µs numpy with nulls as the NULLS-LAST
+    sentinel. Without the fill, int64-with-null becomes float64 NaN in
+    numpy and the window-id cast raises (the lenient crawl reader emits
+    null ts by design)."""
     ts = pc.fill_null(
-        pc.cast(col, pa.timestamp("us")), pa.scalar(0, pa.timestamp("us"))
+        pc.cast(col, pa.timestamp("us")),
+        pa.scalar(_TS_NULL_SENTINEL_US, pa.timestamp("us")),
     )
     return ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
@@ -202,8 +210,12 @@ def sessionize(
         new_key = np.r_[True, c_s[1:] != c_s[:-1]]
         # A session spanning the window cut was counted once per side:
         # subtract one wherever a key's next window starts within the gap.
+        # The null-timestamp window (first_ts = sentinel) also never starts
+        # a session when the key has earlier real events — SQL semantics:
+        # `NULL - prev > gap` is NULL, not a session break.
         bridged = ~new_key & (
-            (first[order] - np.r_[0, last[order][:-1]]) <= gap_us
+            ((first[order] - np.r_[0, last[order][:-1]]) <= gap_us)
+            | (first[order] >= _TS_NULL_SENTINEL_US)
         )
         _, key_first = np.unique(c_s, return_index=True)
         n_sessions = (
@@ -345,7 +357,11 @@ def running_totals(
         from ..functions.hashing import sorted_codes
 
         ids = sorted_codes(group.column(id_col))
-        vals = group.column(val_col).to_numpy(zero_copy_only=False)
+        # null values add nothing to the running sum (SQL SUM skips NULLs;
+        # the row itself still gets a cum value)
+        vals = pc.fill_null(group.column(val_col), 0).to_numpy(
+            zero_copy_only=False
+        )
         code = sorted_codes(group.column(key_col))
         order = np.lexsort((ids, ts, code))
         c_s = code[order]
@@ -391,9 +407,11 @@ def _running_totals_windowed(
     key_type = sch.field(key_col).type
 
     def tag(batch: pa.Table) -> pa.Table:
+        # NULLS-LAST sentinel (not epoch 0): null-ts rows must sort after
+        # their key's real events, like the plain path and the SQL oracle
         ts = pc.fill_null(
             pc.cast(batch.column(ts_col), pa.timestamp("us")),
-            pa.scalar(0, pa.timestamp("us")),
+            pa.scalar(_TS_NULL_SENTINEL_US, pa.timestamp("us")),
         )
         win = pa.array(
             ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // span_us,
@@ -428,7 +446,10 @@ def _running_totals_windowed(
             )
         code = sorted_codes(group.column(key_col))
         win = group.column("__win").to_numpy(zero_copy_only=False)
-        tot = group.column(val_col).to_numpy(zero_copy_only=False)
+        # an all-null-value cell sums to null — it contributes 0 offset
+        tot = pc.fill_null(group.column(val_col), 0).to_numpy(
+            zero_copy_only=False
+        )
         order = np.lexsort((win, code))
         c_s, t_s = code[order], tot[order]
         cs = np.cumsum(t_s)
@@ -561,30 +582,35 @@ def hopping_window_agg(
     from .shuffle import partial_groupby_sum
 
     def assign(batch: pa.Table) -> pa.Table:
-        ts = (
-            pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")), pa.int64())
-            .to_numpy(zero_copy_only=False)
+        ts = _ts_us_filled(batch.column(ts_col))
+        valid = pc.is_valid(
+            pc.cast(batch.column(ts_col), pa.timestamp("us"))
         )
-        micros = (
-            pc.cast(
-                pc.round(
-                    pc.multiply(batch.column(value_col), 1_000_000.0), 0,
-                    round_mode="half_towards_infinity",
-                ),
-                pa.int64(),
-            ).to_numpy(zero_copy_only=False)
+        micros = pc.cast(
+            pc.round(
+                pc.multiply(batch.column(value_col), 1_000_000.0), 0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
         )
         base = (ts // hop_us) * hop_us
         keys = batch.column(key_col)
         parts = []
         for k in range(n_windows):
-            starts = base - k * hop_us
+            # a null ts lands in a NULL window_start on every replica —
+            # SQL's time_bucket(NULL) semantics (the rows still count
+            # length/hop times under the null window, as UNION ALL does)
+            starts = pc.if_else(
+                valid,
+                pa.array(base - k * hop_us, pa.int64()),
+                pa.scalar(None, pa.int64()),
+            )
             parts.append(
                 pa.table(
                     {
                         key_col: keys,
-                        "window_start": pa.array(starts, pa.int64()),
-                        "value_micros": pa.array(micros, pa.int64()),
+                        "window_start": starts,
+                        "value_micros": micros,
                     }
                 )
             )

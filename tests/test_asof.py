@@ -142,31 +142,36 @@ def test_asof_join_date32_timestamps(ray_session):
     assert got == [(0, None), (1, "x")]
 
 
-def test_asof_join_null_timestamps_never_match(ray_session):
-    """SQL semantics: a NULL ts compares false — the left row drops under
-    inner (not silently matching the latest right row) and survives with
-    nulls under left join; null-ts right rows are never match targets."""
+def test_asof_join_null_timestamps_sort_last(ray_session):
+    """DuckDB ASOF JOIN semantics on nulls (verified on null-bearing
+    tables, round 4): NULL timestamps sort LAST on both sides — a null-ts
+    LEFT row matches its key's overall latest right (here the null-ts
+    right), a real-ts left never reaches a null-ts right, and NULL KEYS
+    never match (unmatched under left join)."""
     import pyarrow as pa
 
     from pii_detection_test_ray.stages.asof import asof_join
 
     lds = ray.data.from_arrow(
-        pa.table({"k": [1, 1],
-                  "t": pa.array([None, 200], pa.timestamp("us")), "lv": [0, 1]})
+        pa.table({"k": pa.array([1, 1, None], pa.int64()),
+                  "t": pa.array([None, 200, 150], pa.timestamp("us")),
+                  "lv": [0, 1, 2]})
     )
     rds = ray.data.from_arrow(
-        pa.table({"k": [1, 1],
+        pa.table({"k": pa.array([1, 1], pa.int64()),
                   "t2": pa.array([100, None], pa.timestamp("us")),
                   "rv": ["x", "nullts"]})
     )
-    inner = [(r["lv"], r["rv"])
-             for r in asof_join(lds, rds, "k", "t", "t2", inner=True).take_all()]
-    assert inner == [(1, "x")]
+    inner = sorted(
+        (r["lv"], r["rv"])
+        for r in asof_join(lds, rds, "k", "t", "t2", inner=True).take_all()
+    )
+    assert inner == [(0, "nullts"), (1, "x")]
     outer = sorted(
         (r["lv"], r["rv"])
         for r in asof_join(lds, rds, "k", "t", "t2", inner=False).take_all()
     )
-    assert outer == [(0, None), (1, "x")]
+    assert outer == [(0, "nullts"), (1, "x"), (2, None)]
 
 
 def test_latest_per_key_ts(ray_session):

@@ -316,3 +316,149 @@ def test_null_text_rows_survive_every_stage(ray_session):
     for u in ("u2", "u3"):  # null ≡ empty
         assert by_url[u]["q_n_chars"] == 0
         assert by_url[u]["n_pii_spans"] == 0
+
+
+class TestNullEventsRows:
+    """The 'null behaves sanely' invariant extended from text to the EVENTS
+    family (round-4 proactive close of the round-3-advice pattern): null
+    ts / user_id / event_type / value rows must give the same answers as
+    DuckDB, not just not-crash. Conventions pinned cross-engine:
+    * null timestamps sort LAST (SQL window order; DuckDB ASOF merge
+      order) — sessionize non-breaks, running-total order, as-of matching;
+    * a NULL key never equals (as-of, EXISTS split) but IS its own group
+      (GROUP BY / PARTITION BY);
+    * count(DISTINCT user_id) skips NULL users, their groups remain;
+    * SUM skips NULL values; all-null frames coalesce to 0."""
+
+    @pytest.fixture()
+    def null_events_dir(self, tmp_path):
+        from datetime import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def ts(m):
+            return datetime(2024, 5, 1, 10 + m // 60, m % 60)
+
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(12), pa.int64()),
+                    "ts": pa.array(
+                        [ts(0), ts(10), None, ts(40), ts(70), ts(100), ts(5),
+                         ts(20), None, ts(90), ts(130), ts(45)],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array(
+                        [1, 1, 1, None, 2, 2, 3, None, 3, 3, 1, 2], pa.int64()
+                    ),
+                    "event_type": pa.array(
+                        ["a", "a", None, "a", "b", "b", None, "a", "b", "b",
+                         "a", None],
+                        pa.string(),
+                    ),
+                    "value": pa.array(
+                        [1.5, None, 2.5, 3.0, None, 0.25, 1.0, 2.0, None, 4.5,
+                         0.75, None],
+                        pa.float64(),
+                    ),
+                    "props": pa.array(['{"k":1}'] * 12, pa.string()),
+                }
+            ),
+            str(tmp_path / "events.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(range(6), pa.int64()),
+                    "o_custkey": pa.array([1, 2, None, 3, 1, 2], pa.int64()),
+                    "o_orderdate": pa.array(
+                        [ts(0), ts(30), ts(10), None, ts(60), None],
+                        pa.timestamp("us"),
+                    ),
+                    "o_orderpriority": pa.array(
+                        ["P1", "P2", "P3", "P4", "P5", "P6"], pa.string()
+                    ),
+                    "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0]),
+                    "o_orderstatus": pa.array(["O", "F", "O", "F", "O", "F"]),
+                }
+            ),
+            str(tmp_path / "orders.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "c_custkey": pa.array([1, 2, 3, None], pa.int64()),
+                    "c_acctbal": pa.array([6000.0, 100.0, None, 7000.0]),
+                    "c_mktsegment": pa.array(["BUILDING", "AUTO", "AUTO", None]),
+                }
+            ),
+            str(tmp_path / "customer.parquet"),
+        )
+        return str(tmp_path)
+
+    def _duck(self, d):
+        duckdb = pytest.importorskip("duckdb")
+
+        con = duckdb.connect()
+        for t in ("events", "orders", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+            )
+        return con
+
+    def test_strict_hash_compare(self, ray_session, null_events_dir):
+        """Queries whose null-bearing outputs the strict comparator can
+        handle go through the driver-stand-in compare itself."""
+        from tools.check_correctness import compare, to_pandas
+
+        from pii_detection_test_ray.pipelines.queries import QUERIES
+        from pii_detection_test_ray.pipelines.sql_oracles import ORACLES
+
+        con = self._duck(null_events_dir)
+        problems = []
+        for name in (
+            "sessionize", "events_value_stats", "exact_distinct_users",
+            "value_bands", "events_asof_orders", "orders_exists_split",
+            "json_props_rollup",
+        ):
+            got = to_pandas(QUERIES[name](null_events_dir))
+            exp = con.execute(ORACLES[name]).fetchdf()
+            problems += [(name, p) for p in compare(name, got, exp)]
+        assert problems == []
+
+    def test_null_key_outputs_match_rowwise(self, ray_session, null_events_dir):
+        """events_windows / running_user_totals emit rows with NULL group
+        values (null window_start, null user_id) — NaT/NaN defeat the
+        strict comparator's sort, so these two compare as null-normalized
+        row multisets instead."""
+        from pii_detection_test_ray.pipelines.queries import QUERIES
+        from pii_detection_test_ray.pipelines.sql_oracles import ORACLES
+
+        con = self._duck(null_events_dir)
+
+        def norm(rows):
+            return sorted(
+                (
+                    tuple(None if v is None or v != v else v for v in r)
+                    for r in rows
+                ),
+                key=repr,
+            )
+
+        for name, cols in (
+            ("running_user_totals", ["event_id", "user_id", "cum_cents"]),
+            (
+                "events_windows",
+                ["window_kind", "event_type", "window_start", "n_events",
+                 "total_value_micros"],
+            ),
+        ):
+            eng = [
+                tuple(r[c] for c in cols)
+                for r in QUERIES[name](null_events_dir).take_all()
+            ]
+            ora = con.execute(
+                f"SELECT {', '.join(cols)} FROM ({ORACLES[name]})"
+            ).fetchall()
+            assert norm(eng) == norm(ora), name

@@ -326,10 +326,12 @@ def test_read_jsonl_pages_hostile_timestamps(ray_session, tmp_path):
 
 
 def test_windowed_per_key_operators_tolerate_null_ts(ray_session):
-    """Null timestamps behave as epoch 0 (deterministic, documented in
-    _ts_us_filled) in sessionize and BOTH running_totals paths — the
-    lenient crawl reader produces null ts by design, so the default
-    windowed paths must not crash on them (round-4 review finding)."""
+    """Null timestamps sort LAST within their key (the SQL window-order
+    convention the DuckDB oracles use, via _ts_us_filled's sentinel) in
+    sessionize and BOTH running_totals paths — the lenient crawl reader
+    produces null ts by design, so the default windowed paths must not
+    crash on them (round-4 review finding), and the null-events corpus
+    DuckDB compare pins the exact cross-engine values."""
     import pyarrow as pa
 
     from pii_detection_test_ray.stages.windows import running_totals, sessionize
@@ -357,5 +359,5 @@ def test_windowed_per_key_operators_tolerate_null_ts(ray_session):
         r["event_id"]: r["cum_cents"]
         for r in running_totals(ds, span_hours=None, **kw).take_all()
     }
-    # null ts sorts first within its key on both paths
-    assert windowed == plain == {2: 7, 1: 12, 3: 9}
+    # null ts sorts LAST within its key on both paths (SQL NULLS LAST)
+    assert windowed == plain == {1: 5, 2: 12, 3: 9}
