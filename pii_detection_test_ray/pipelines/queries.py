@@ -689,16 +689,20 @@ def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
     joined = bucketed_hash_join(cust, agg, "c_custkey", join_type="left outer")
 
     def fill(batch: pa.Table) -> pa.Table:
+        def col_or_zero(name: str):
+            # An ALL-empty right side degrades the left-outer join to the
+            # bare left columns (schema-less right — nothing to pad with);
+            # zero-fill is then this query's contract for every row.
+            if name in batch.column_names:
+                return pc.fill_null(pc.cast(batch.column(name), pa.int64()), 0)
+            return pa.array([0] * batch.num_rows, pa.int64())
+
         return pa.table(
             {
                 "c_custkey": batch.column("c_custkey"),
                 "c_mktsegment": batch.column("c_mktsegment"),
-                "n_orders": pc.fill_null(
-                    pc.cast(batch.column("n_orders"), pa.int64()), 0
-                ),
-                "total_cents": pc.fill_null(
-                    pc.cast(batch.column("total_cents"), pa.int64()), 0
-                ),
+                "n_orders": col_or_zero("n_orders"),
+                "total_cents": col_or_zero("total_cents"),
             }
         )
 
@@ -1231,6 +1235,13 @@ def q_customers_per_region(sf_dir: str) -> ray.data.Dataset:
     def join(batch: pa.Table) -> pa.Table:
         nat, reg = ray.get(lookup_ref)
         nk = batch.column("c_nationkey").to_pylist()
+        # inner-join semantics: null or dangling nation/region keys drop
+        # the row (a None key is never in the lookup)
+        keep = pa.array(
+            [k in nat and nat[k] in reg for k in nk], pa.bool_()
+        )
+        batch = batch.filter(keep)
+        nk = [k for k, ok in zip(nk, keep.to_pylist()) if ok]
         bal_cents = pc.cast(
             _round(pc.multiply(batch.column("c_acctbal"), 100.0), 0), pa.int64()
         )

@@ -379,7 +379,9 @@ class TestNullEventsRows:
                     "o_orderpriority": pa.array(
                         ["P1", "P2", "P3", "P4", "P5", "P6"], pa.string()
                     ),
-                    "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0, 50.0, 60.0]),
+                    "o_totalprice": pa.array(
+                        [10.0, None, 30.0, 40.0, 50.0, 60.0]
+                    ),
                     "o_orderstatus": pa.array(["O", "F", "O", "F", "O", "F"]),
                 }
             ),
@@ -391,9 +393,29 @@ class TestNullEventsRows:
                     "c_custkey": pa.array([1, 2, 3, None], pa.int64()),
                     "c_acctbal": pa.array([6000.0, 100.0, None, 7000.0]),
                     "c_mktsegment": pa.array(["BUILDING", "AUTO", "AUTO", None]),
+                    "c_nationkey": pa.array([0, 0, None, 0], pa.int64()),
                 }
             ),
             str(tmp_path / "customer.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "n_nationkey": pa.array([0], pa.int64()),
+                    "n_regionkey": pa.array([0], pa.int64()),
+                    "n_name": pa.array(["N"], pa.string()),
+                }
+            ),
+            str(tmp_path / "nation.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "r_regionkey": pa.array([0], pa.int64()),
+                    "r_name": pa.array(["R"], pa.string()),
+                }
+            ),
+            str(tmp_path / "region.parquet"),
         )
         return str(tmp_path)
 
@@ -401,7 +423,7 @@ class TestNullEventsRows:
         duckdb = pytest.importorskip("duckdb")
 
         con = duckdb.connect()
-        for t in ("events", "orders", "customer"):
+        for t in ("events", "orders", "customer", "nation", "region"):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
             )
@@ -420,7 +442,8 @@ class TestNullEventsRows:
         for name in (
             "sessionize", "events_value_stats", "exact_distinct_users",
             "value_bands", "events_asof_orders", "orders_exists_split",
-            "json_props_rollup",
+            "json_props_rollup", "customer_order_counts",
+            "orders_monthly_dense", "customers_per_region",
         ):
             got = to_pandas(QUERIES[name](null_events_dir))
             exp = con.execute(ORACLES[name]).fetchdf()
