@@ -87,7 +87,13 @@ def q_quality_stats(sf_dir: str) -> ray.data.Dataset:
         words = [len(toks) for toks in tok_lists]
         distinct = [len(set(toks)) for toks in tok_lists]  # exact int count
         keep = [
-            int(150 <= c <= 450 and w >= 20 and (d / w if w else 1.0) >= 0.2)
+            # a NULL n_chars is not BETWEEN anything (SQL semantics)
+            int(
+                c is not None
+                and 150 <= c <= 450
+                and w >= 20
+                and (d / w if w else 1.0) >= 0.2
+            )
             for c, w, d in zip(n_chars, words, distinct)
         ]
         return pa.table(
@@ -166,18 +172,30 @@ def q_token_counts(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    agg = (
-        ds.map_batches(tok, batch_format="pyarrow")
-        .groupby("source")
-        .aggregate(Sum("n_tokens"), Max("n_tokens"), Sum("bpe"), Count())
+    from ..stages.shuffle import coarse_bucketed_groupby
+
+    def add_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "one", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+
+    # coarse-bucket reduce (Arrow C++ group_by) rather than Ray's
+    # sort-aggregate: Arrow groups a NULL source like SQL GROUP BY; Ray's
+    # sort comparator raises on null keys
+    agg = coarse_bucketed_groupby(
+        ds.map_batches(tok, batch_format="pyarrow").map_batches(
+            add_one, batch_format="pyarrow"
+        ),
+        ["source"],
+        [("n_tokens", "sum"), ("n_tokens", "max"), ("bpe", "sum"), ("one", "sum")],
     )
     return _rename(
         agg,
         {
-            "sum(n_tokens)": "total_tokens",
-            "max(n_tokens)": "max_tokens",
-            "sum(bpe)": "bpe_tokens",
-            "count()": "n_docs",
+            "n_tokens_sum": "total_tokens",
+            "n_tokens_max": "max_tokens",
+            "bpe_sum": "bpe_tokens",
+            "one_sum": "n_docs",
         },
     )
 
@@ -596,8 +614,15 @@ def q_latency_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_top_longest(sf_dir: str) -> ray.data.Dataset:
-    """Sort + limit (O1/O2 shape): 20 longest docs."""
+    """Sort + limit (O1/O2 shape): 20 longest docs. Only docs WITH a
+    measured length rank (both sides filter NULL n_chars — "longest"
+    is undefined for an unmeasured doc, and Ray's distributed sort
+    mishandles null keys: observed duplicating a null-key row)."""
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("n_chars"))),
+        batch_format="pyarrow",
+    )
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
 
 
@@ -731,6 +756,16 @@ def q_lang_source_pivot(sf_dir: str) -> pa.Table:
     from ..stages.shuffle import partial_groupby_sum
 
     ds = _read(sf_dir, "documents", ["lang", "source"])
+    # pivot contract: a NULL lang has no row and a NULL source no column
+    # (a dynamic wide schema cannot name a null column; both sides filter)
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.is_valid(t.column("lang")), pc.is_valid(t.column("source"))
+            )
+        ),
+        batch_format="pyarrow",
+    )
     cells = partial_groupby_sum(ds, ["lang", "source"], [], count_as="n")
     rows = cells.take_all()
     sources = sorted({r["source"] for r in rows})
@@ -978,7 +1013,21 @@ def q_adaptive_quality_gate(sf_dir: str) -> ray.data.Dataset:
 
     def gate(batch: pa.Table) -> pa.Table:
         m = ray.get(med_ref)
+        # SQL semantics of the oracle's JOIN + comparison: a NULL lang
+        # never joins the median table, a NULL n_chars is neither kept
+        # nor counted (count(d.n_chars))
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column("lang")),
+                pc.is_valid(batch.column("n_chars")),
+            )
+        )
         langs = batch.column("lang").to_pylist()
+        # a lang with no median row (all its lengths were NULL) cannot
+        # join — same inner-join drop as the oracle
+        in_med = pa.array([l in m for l in langs], pa.bool_())
+        batch = batch.filter(in_med)
+        langs = [l for l, ok in zip(langs, in_med.to_pylist()) if ok]
         thresh = np.array([m[l] for l in langs], dtype=np.int64)
         n = batch.column("n_chars").to_numpy(zero_copy_only=False)
         return pa.table(
@@ -1129,28 +1178,39 @@ def q_grouping_rollup(sf_dir: str) -> pa.Table:
         ds, ["lang", "source"], ["n_chars"], count_as="n_docs"
     )
     rows = fine.take_all()
-    langs: dict[str, list[int]] = {}
+    # None-safe ordering and SQL aggregate-of-nulls semantics: a cell
+    # whose n_chars are all NULL carries a NULL sum; subtotals SKIP nulls
+    # but stay NULL when no cell contributed a value (null group-key
+    # values are ordinary groups, distinct from the rollup's None markers
+    # only by their aggregate values — same output multiset as DuckDB).
+    nsort = lambda v: (v is None, v)
+    langs: dict = {}
     out_lang: list = []
     out_src: list = []
-    out_n: list[int] = []
-    out_chars: list[int] = []
-    for r in sorted(rows, key=lambda r: (r["lang"], r["source"])):
+    out_n: list = []
+    out_chars: list = []
+    for r in sorted(rows, key=lambda r: (nsort(r["lang"]), nsort(r["source"]))):
         out_lang.append(r["lang"])
         out_src.append(r["source"])
         out_n.append(r["n_docs"])
         out_chars.append(r["n_chars"])
-        agg = langs.setdefault(r["lang"], [0, 0])
+        agg = langs.setdefault(r["lang"], [0, 0, False])
         agg[0] += r["n_docs"]
-        agg[1] += r["n_chars"]
-    for lang in sorted(langs):
+        if r["n_chars"] is not None:
+            agg[1] += r["n_chars"]
+            agg[2] = True
+    for lang in sorted(langs, key=nsort):
         out_lang.append(lang)
         out_src.append(None)
         out_n.append(langs[lang][0])
-        out_chars.append(langs[lang][1])
+        out_chars.append(langs[lang][1] if langs[lang][2] else None)
+    any_val = any(v[2] for v in langs.values())
     out_lang.append(None)
     out_src.append(None)
     out_n.append(sum(v[0] for v in langs.values()))
-    out_chars.append(sum(v[1] for v in langs.values()))
+    out_chars.append(
+        sum(v[1] for v in langs.values() if v[2]) if any_val else None
+    )
     return pa.table(
         {
             "lang": pa.array(out_lang, pa.string()),
@@ -1179,45 +1239,78 @@ def q_exact_quantiles(sf_dir: str) -> ray.data.Dataset:
     from ..stages.shuffle import partial_groupby_sum
 
     ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    # NULL n_chars rows carry no measurable length: SQL percentile_disc/
+    # cont skip NULLs and n_docs is count(n_chars) — a lang needs ≥1
+    # measured value to appear (matching the oracle's aggregate-of-nulls
+    # behavior on null-free groups)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("n_chars"))),
+        batch_format="pyarrow",
+    )
     hist = partial_groupby_sum(ds, ["lang", "n_chars"], [], count_as="n")
 
+    from ..functions.hashing import bucket_ids, sorted_codes
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_ids(batch.column("lang"), 64)
+        return batch.append_column("__b", pa.array(b, pa.int32()))
+
     def quantiles(group: pa.Table) -> pa.Table:
-        vals = group.column("n_chars").to_numpy(zero_copy_only=False)
-        counts = group.column("n").to_numpy(zero_copy_only=False)
-        order = np.argsort(vals, kind="stable")
-        vals, counts = vals[order], counts[order]
-        cum = np.cumsum(counts)
-        total = int(cum[-1])
+        # per hash BUCKET of lang, not per lang: null-safe (Ray's
+        # sort-groupby comparator raises on a null group key; the bucket
+        # hash and dense-rank codes both handle null like SQL GROUP BY)
+        code = sorted_codes(group.column("lang"))
+        vals_all = group.column("n_chars").to_numpy(zero_copy_only=False)
+        counts_all = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals_all, code))
+        c_s, v_s, n_s = code[order], vals_all[order], counts_all[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        ends = np.r_[starts[1:], len(order)]
+        out_lang, out_med, out_p90, out_medc, out_p75c, out_n = [], [], [], [], [], []
+        for st, en in zip(starts, ends):
+            vals, counts = v_s[st:en], n_s[st:en]
+            cum = np.cumsum(counts)
+            total = int(cum[-1])
 
-        def disc(q_pct: int) -> int:
-            idx = int(np.searchsorted(100 * cum, q_pct * total))
-            return int(vals[idx])
+            def disc(q_pct: int) -> int:
+                idx = int(np.searchsorted(100 * cum, q_pct * total))
+                return int(vals[idx])
 
-        def value_at(idx: int) -> float:
-            # idx is 0-based position in the expanded sorted multiset
-            return float(vals[int(np.searchsorted(cum, idx, side="right"))])
+            def value_at(idx: int) -> float:
+                # idx is 0-based position in the expanded sorted multiset
+                return float(vals[int(np.searchsorted(cum, idx, side="right"))])
 
-        def cont(q: float) -> float:
-            r = q * (total - 1)
-            lo = int(np.floor(r))
-            hi = int(np.ceil(r))
-            vlo = value_at(lo)
-            if hi == lo:
-                return vlo
-            return vlo + (value_at(hi) - vlo) * (r - lo)
+            def cont(q: float) -> float:
+                r = q * (total - 1)
+                lo = int(np.floor(r))
+                hi = int(np.ceil(r))
+                vlo = value_at(lo)
+                if hi == lo:
+                    return vlo
+                return vlo + (value_at(hi) - vlo) * (r - lo)
 
+            out_lang.append(order[st])
+            out_med.append(disc(50))
+            out_p90.append(disc(90))
+            out_medc.append(cont(0.5))
+            out_p75c.append(cont(0.75))
+            out_n.append(total)
         return pa.table(
             {
-                "lang": group.column("lang").slice(0, 1),
-                "median_chars": pa.array([disc(50)], pa.int64()),
-                "p90_chars": pa.array([disc(90)], pa.int64()),
-                "median_cont": pa.array([cont(0.5)], pa.float64()),
-                "p75_cont": pa.array([cont(0.75)], pa.float64()),
-                "n_docs": pa.array([total], pa.int64()),
+                "lang": group.column("lang").take(pa.array(out_lang, pa.int64())),
+                "median_chars": pa.array(out_med, pa.int64()),
+                "p90_chars": pa.array(out_p90, pa.int64()),
+                "median_cont": pa.array(out_medc, pa.float64()),
+                "p75_cont": pa.array(out_p75c, pa.float64()),
+                "n_docs": pa.array(out_n, pa.int64()),
             }
         )
 
-    return hist.groupby("lang").map_groups(quantiles, batch_format="pyarrow")
+    return (
+        hist.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(quantiles, batch_format="pyarrow")
+    )
 
 
 def q_customers_per_region(sf_dir: str) -> ray.data.Dataset:

@@ -456,6 +456,7 @@ ORACLES: dict[str, str] = {
     "top_longest": """
         SELECT doc_id, n_chars
         FROM documents
+        WHERE n_chars IS NOT NULL
         ORDER BY n_chars DESC, doc_id
         LIMIT 20
     """,
@@ -471,12 +472,16 @@ ORACLES: dict[str, str] = {
         GROUP BY l_returnflag, l_linestatus
     """,
     "lang_source_pivot": """
-        WITH p AS (PIVOT documents ON source USING count(*) GROUP BY lang),
+        WITH d AS (
+            SELECT lang, source FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+        ),
+        p AS (PIVOT d ON source USING count(*) GROUP BY lang),
         s AS (
             SELECT lang,
                    string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
                    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
-            FROM documents
+            FROM d
             GROUP BY lang
         )
         SELECT p.*, s.sources, s.n_sources FROM p JOIN s USING (lang)
@@ -558,7 +563,7 @@ ORACLES: dict[str, str] = {
         SELECT d.lang,
                CAST(sum(CASE WHEN d.n_chars >= med.m THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_kept,
-               CAST(count(*) AS BIGINT) AS n_docs
+               CAST(count(d.n_chars) AS BIGINT) AS n_docs
         FROM documents d JOIN med ON med.lang = d.lang
         GROUP BY d.lang
     """,
@@ -608,8 +613,9 @@ ORACLES: dict[str, str] = {
                    AS median_cont,
                percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars)
                    AS p75_cont,
-               CAST(count(*) AS BIGINT) AS n_docs
+               CAST(count(n_chars) AS BIGINT) AS n_docs
         FROM documents
+        WHERE n_chars IS NOT NULL
         GROUP BY lang
     """,
     "customer_order_counts": """

@@ -173,11 +173,14 @@ class TestNullTextRows:
                     pa.string(),
                 ),
                 "lang": pa.array(
-                    ["en", "en", "ko", "en", "en", "ko", "en"], pa.string()
+                    ["en", "en", "ko", "en", None, "ko", "en"], pa.string()
                 ),
-                "source": pa.array(["web"] * 7, pa.string()),
+                "source": pa.array(
+                    ["web", "web", None, "web", "news", "web", "web"],
+                    pa.string(),
+                ),
                 "n_chars": pa.array(
-                    [22, 0, 0, 22, len(long_a), len(long_a), len(long_b)],
+                    [22, 0, None, 22, len(long_a), len(long_a), len(long_b)],
                     pa.int64(),
                 ),
             }
@@ -225,6 +228,9 @@ class TestNullTextRows:
             "dedup_exact", "dedup_page_lines", "vocab_top_tokens",
             "tfidf_top_terms", "jaccard_pairs_exact", "dup_clusters",
             "ngram_jaccard_pairs", "pack_sequences", "decontaminate",
+            # null lang / source / n_chars coverage (round-4 close):
+            "exact_quantiles", "adaptive_quality_gate", "top_docs_per_lang",
+            "grouping_rollup", "lang_source_pivot", "top_longest",
         ]
         problems = []
         for name in names:
