@@ -700,13 +700,25 @@ ORACLES: dict[str, str] = {
         )
         WHERE rank <= 3
     """,
+    # Null embeddings cannot be scored (engine filters them; see
+    # similarity._drop_null_vecs). list_transform strips the child
+    # nullability mask a null-bearing parquet column carries — DuckDB's
+    # list_cosine_similarity rejects the MASK even when no kept value is
+    # null. (Null ELEMENTS inside a vector are out of contract on both
+    # engines.)
     "knn_cosine": """
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> coalesce(x, 0.0))::DOUBLE[]
+                       AS emb
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+        ),
+        qv AS (SELECT emb FROM e WHERE vec_id = 0)
         SELECT e.vec_id,
-               round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score
-        FROM embeddings e
-        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
-                 e.vec_id
+               round(list_cosine_similarity(e.emb, qv.emb), 6) AS score
+        FROM e CROSS JOIN qv
+        ORDER BY list_cosine_similarity(e.emb, qv.emb) DESC, e.vec_id
         LIMIT 10
     """,
 }

@@ -19,6 +19,15 @@ import ray
 import ray.data
 
 
+def _drop_null_vecs(batch: pa.Table, vec_col: str) -> pa.Table:
+    """Rows without an embedding cannot be scored, assigned or matched —
+    every embedding operator filters them up front (the SQL analog is
+    WHERE embedding IS NOT NULL; a NULL vector has no cosine)."""
+    import pyarrow.compute as pc
+
+    return batch.filter(pc.is_valid(batch.column(vec_col)))
+
+
 def _as_matrix(col) -> np.ndarray:
     """List<float> column → (n, dim) float64 matrix via the flat values
     buffer (vectorized; no per-row Python lists). Falls back to to_pylist
@@ -79,6 +88,7 @@ def knn_brute_force(
     q_ref = ray.put(q_unit)
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_vecs(batch, vec_col)
         if batch.num_rows == 0:  # empty blocks reach UDFs after filters
             return pa.table(
                 {
@@ -149,11 +159,15 @@ def embedding_clusters(
     tight cluster, and the cluster id doubles as a co-location key for
     per-cluster work."""
     sample_rows = ds.limit(sample_size).select_columns([vec_col]).take_all()
-    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    sample = np.asarray(
+        [r[vec_col] for r in sample_rows if r[vec_col] is not None],
+        dtype=np.float64,
+    )
     centroids = kmeans_centroids(sample, n_clusters, seed=seed)
     ref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_vecs(batch, vec_col)
         if batch.num_rows == 0:
             return pa.table(
                 {
@@ -194,7 +208,10 @@ def knn_ivf(
     query's ``nprobe`` closest centroids. Same output shape as brute force;
     approximate recall (tested ≥ the IVF guarantee on synthetic clusters)."""
     sample_rows = ds.limit(sample_size).select_columns([vec_col]).take_all()
-    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    sample = np.asarray(
+        [r[vec_col] for r in sample_rows if r[vec_col] is not None],
+        dtype=np.float64,
+    )
     centroids = kmeans_centroids(sample, n_clusters, seed=seed)
 
     q_unit = _normalize(np.asarray(queries, dtype=np.float64))
@@ -202,6 +219,7 @@ def knn_ivf(
     state = ray.put((q_unit, centroids, probed))
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_vecs(batch, vec_col)
         if batch.num_rows == 0:
             return pa.table(
                 {

@@ -491,3 +491,76 @@ class TestNullEventsRows:
                 f"SELECT {', '.join(cols)} FROM ({ORACLES[name]})"
             ).fetchall()
             assert norm(eng) == norm(ora), name
+
+
+class TestNullMiscTables:
+    """Null-bearing lineitem / supplier / embeddings tables: the remaining
+    SQL-paired families stay cross-engine green (lineitem_rollup and
+    fuzzy_supplier_pairs were already null-safe; knn filters unembedded
+    rows — a NULL vector has no cosine, and Ray-side they would crash the
+    matrix kernels)."""
+
+    def test_lineitem_supplier_embeddings_nulls(self, ray_session, tmp_path):
+        from datetime import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        duckdb = pytest.importorskip("duckdb")
+
+        from tools.check_correctness import compare, to_pandas
+
+        from pii_detection_test_ray.pipelines.queries import QUERIES
+        from pii_detection_test_ray.pipelines.sql_oracles import ORACLES
+
+        pq.write_table(
+            pa.table(
+                {
+                    "l_returnflag": pa.array(["A", None, "A", "R"], pa.string()),
+                    "l_linestatus": pa.array(["F", "F", None, "O"], pa.string()),
+                    "l_quantity": pa.array([1.0, 2.0, None, 4.0]),
+                    "l_extendedprice": pa.array([10.0, None, 30.0, 40.0]),
+                    "l_discount": pa.array([0.1, 0.2, 0.3, None]),
+                    "l_shipdate": pa.array(
+                        [datetime(1995, 1, 1), datetime(1995, 1, 2), None,
+                         datetime(1995, 1, 3)],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            str(tmp_path / "lineitem.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+                    "s_name": pa.array(
+                        ["Supplier#1", None, "Supplier#2", "Supplier#1x"],
+                        pa.string(),
+                    ),
+                }
+            ),
+            str(tmp_path / "supplier.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([0, 1, 2], pa.int64()),
+                    "embedding": pa.array(
+                        [[1.0] * 8, None, [0.5] * 8], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        con = duckdb.connect()
+        for t in ("lineitem", "supplier", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+            )
+        problems = []
+        for name in ("lineitem_rollup", "fuzzy_supplier_pairs", "knn_cosine"):
+            got = to_pandas(QUERIES[name](str(tmp_path)))
+            exp = con.execute(ORACLES[name]).fetchdf()
+            problems += [(name, p) for p in compare(name, got, exp)]
+        assert problems == []
