@@ -18,11 +18,29 @@ import numpy as np
 _MERSENNE_61 = (1 << 61) - 1
 # Explicit ranges, not `\w`: Python re and DuckDB RE2 agree on explicit
 # character classes but diverge on unicode shorthand classes (the repo's
-# cross-engine regex contract — same trade as the BPE tokenizer). Covers
-# the corpus's scripts (Latin, digits, underscore, Hangul syllables);
-# word-token semantics for near-dup shingling, mirrored verbatim in the
-# ngram_jaccard_pairs SQL oracle.
-_WORD_RE = re.compile(r"[A-Za-z0-9_가-힣]+")
+# cross-engine regex contract — same trade as the BPE tokenizer). The
+# class covers every major script whose lower() mapping is identical in
+# Python and DuckDB (probed: Latin incl. Latin-1 letters, Cyrillic, Han
+# + ext A, Hiragana/Katakana, Hangul syllables, Arabic, Hebrew,
+# Devanagari, Thai all MATCH; Greek final-sigma Σ→ς/σ and Turkish İ→i̇/i
+# DIFFER, so those stay excluded — and because tokens are extracted from
+# the RAW text first and lowercased per token (see ``word_tokens``), a
+# divergent character can never leak into a token via full-text lower().
+# Mirrored verbatim in the ngram_jaccard_pairs SQL oracle
+# (pipelines/sql_oracles.py) and pinned multi-script by
+# tests/test_functions.py::test_word_tokens_multiscript_duckdb_parity.
+_WORD_CLASS = (
+    "A-Za-z0-9_À-ÖØ-öø-ÿ"  # Latin + Latin-1
+    "Ѐ-ӿ"  # Cyrillic
+    "֐-׿"  # Hebrew
+    "؀-ۿ"  # Arabic
+    "ऀ-ॿ"  # Devanagari
+    "฀-๿"  # Thai
+    "぀-ヿ"  # Hiragana + Katakana
+    "㐀-䶿一-鿿"  # Han (ext A + unified)
+    "가-힣"  # Hangul syllables
+)
+_WORD_RE = re.compile(f"[{_WORD_CLASS}]+")
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -209,8 +227,15 @@ def rolling_fingerprint(text: str, window: int = 64, base: int = 257) -> int:
 
 
 def word_tokens(text: str) -> list[str]:
+    """Word tokens for near-dup shingling: extract from the RAW text with
+    the explicit multi-script class, then lowercase each token. Extraction
+    BEFORE lowercasing is the cross-engine guarantee — a character whose
+    lower() differs between Python and DuckDB (Σ, İ) is outside the class,
+    so full-text lower() can never smuggle a divergent mapping into a
+    token (lower('İstanbul') is 'i̇stanbul' in Python but 'istanbul' in
+    DuckDB; extract-first yields 'stanbul' on both engines)."""
     text = text or ""  # null text behaves as empty (repo-wide invariant)
-    return _WORD_RE.findall(text.lower())
+    return [t.lower() for t in _WORD_RE.findall(text)]
 
 
 def word_ngrams(text: str, n: int = 3) -> list[str]:

@@ -370,14 +370,21 @@ ORACLES: dict[str, str] = {
     # Brute-force all-pairs word-3-gram Jaccard — the no-LSH ground truth
     # the engine's LSH-candidate + exact-verify plan must reproduce
     # exactly (recall-1 operating point; see q_ngram_jaccard_pairs).
-    # Word tokens mirror functions/hashing._WORD_RE verbatim; a doc with
-    # fewer than 3 tokens contributes its whole token string as its one
-    # gram (word_ngrams' short-doc rule).
+    # Word tokens mirror functions/hashing._WORD_RE verbatim — the
+    # multi-script class extracted from RAW text, each token lowercased
+    # AFTER extraction (the engine's extract-then-lower contract: scripts
+    # whose lower() diverges cross-engine are outside the class, so
+    # full-text lower() can't leak a divergent mapping into a token). A
+    # doc with fewer than 3 tokens contributes its whole token string as
+    # its one gram (word_ngrams' short-doc rule).
     "ngram_jaccard_pairs": """
         WITH tok AS (
             SELECT doc_id,
-                   regexp_extract_all(lower(coalesce(text, '')),
-                                      '[a-z0-9_가-힣]+') AS tk
+                   list_transform(
+                       regexp_extract_all(
+                           coalesce(text, ''),
+                           '[A-Za-z0-9_À-ÖØ-öø-ÿЀ-ӿ֐-׿؀-ۿऀ-ॿ฀-๿぀-ヿ㐀-䶿一-鿿가-힣]+'),
+                       t -> lower(t)) AS tk
             FROM documents
         ),
         grams AS (

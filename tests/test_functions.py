@@ -323,6 +323,46 @@ class TestHashing:
         sig = mh.signature_for_text("one two three four five six seven")
         assert lsh_band_keys(sig, 16) == lsh_band_keys(sig.copy(), 16)
 
+    def test_word_tokens_multiscript_duckdb_parity(self):
+        """The _WORD_RE extract-then-lower contract (ADVICE r4 medium):
+        every script in the class tokenizes identically in Python and
+        DuckDB — so Cyrillic/Han/Arabic/… web text actually shingles
+        instead of silently no-oping — and the divergent-lower() scripts
+        (Greek Σ, Turkish İ) can never leak a cross-engine mismatch
+        because they are excluded BEFORE any lowercasing happens."""
+        import duckdb
+
+        from pii_detection_test_ray.functions.hashing import (
+            _WORD_CLASS,
+            word_tokens,
+        )
+
+        con = duckdb.connect()
+        sql_expr = (
+            "SELECT list_transform(regexp_extract_all(?, ?), t -> lower(t))"
+        )
+        cls = f"[{_WORD_CLASS}]+"
+        samples = [
+            "Привет МИР Ёё",  # Cyrillic (cased, simple mappings)
+            "漢字と ひらがな カタカナ混じり",  # Han + Kana
+            "مرحبا بالعالم",  # Arabic
+            "שלום עולם",  # Hebrew
+            "नमस्ते दुनिया",  # Devanagari
+            "สวัสดี ครับ",  # Thai
+            "Àéï ÑOËL Straße",  # Latin-1
+            "ΣΑΣ ΟΔΟΣ Άλφα",  # Greek — excluded, tokenizes to nothing
+            "İstanbul DİYARBAKIR",  # Turkish İ — divergent char excluded
+            "mixed Текст with 한글 and English",
+        ]
+        for s in samples:
+            duck = con.execute(sql_expr, [s, cls]).fetchone()[0]
+            assert word_tokens(s) == duck, s
+        # The ADVICE regression itself: non-Latin scripts must produce
+        # tokens (round-4 narrowed class tokenized these to nothing).
+        assert word_tokens("Привет мир") == ["привет", "мир"]
+        assert word_tokens("漢字中文") == ["漢字中文"]
+        assert word_tokens("مرحبا بالعالم") == ["مرحبا", "بالعالم"]
+
     def test_simhash_near_texts_low_hamming(self):
         a = simhash64("the quick brown fox jumps over the lazy dog and runs away fast")
         b = simhash64("the quick brown fox jumps over the lazy cat and runs away fast")
