@@ -733,6 +733,30 @@ ORACLES: dict[str, str] = {
     # list_cosine_similarity rejects the MASK even when no kept value is
     # null. (Null ELEMENTS inside a vector are out of contract on both
     # engines.)
+    # Brute-force all-pairs cosine — the no-LSH ground truth the engine's
+    # multi-table hyperplane-LSH + exact-verify plan must reproduce
+    # exactly (see q_embedding_dup_pairs: planted near-dups at
+    # float64(embedding) + 0.002, ids + 1,000,000, recall 1 at the
+    # operating point). list_transform also strips the child nullability
+    # mask (same workaround as knn_cosine below).
+    "embedding_dup_pairs": """
+        WITH base AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+        ),
+        allv AS (
+            SELECT * FROM base
+            UNION ALL
+            SELECT vec_id + 1000000, list_transform(emb, x -> x + 0.002)
+            FROM base WHERE vec_id < 25
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+        FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95
+    """,
     "knn_cosine": """
         WITH e AS (
             SELECT vec_id,

@@ -687,14 +687,30 @@ def embedding_duplicate_pairs(
     n_planes: int = 12,
     threshold: float = 0.95,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> ray.data.Dataset:
     """Pairs with cosine ≥ threshold; candidates share a sign-pattern bucket
     under ``n_planes`` seeded random hyperplanes (near-identical vectors
-    collide with high probability)."""
+    collide with high probability).
+
+    ``n_tables`` > 1 runs the standard multi-table LSH repetition: each
+    table gets its own ``n_planes`` seeded hyperplanes and its own bucket
+    namespace, and a pair is a candidate if it collides in ANY table —
+    P(miss) drops from (1 − p^b) to (1 − p^b)^L. At the hash-green
+    operating point (q_embedding_dup_pairs: planted pairs at cosine
+    ≈0.9999, 6 tables × 10 planes) the residual miss probability is ~1e-8
+    per pair, and determinism (fixed seed, fixed data) makes the DuckDB
+    brute-force oracle comparison exact in practice. Emission cost is one
+    row per (vector, table); ``_first_per_pair`` collapses multi-table
+    collisions. Scores are RAW float64 cosines (callers round at the
+    query layer with the shared cross-engine rounding)."""
     rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim).astype(np.float64)
+    planes = rng.randn(n_tables, n_planes, dim).astype(np.float64)
 
     def emit_bucket(batch: pa.Table) -> pa.Table:
+        from .similarity import _drop_null_vecs
+
+        batch = _drop_null_vecs(batch, vec_col)  # no cosine for NULL vectors
         if batch.num_rows == 0:
             return pa.table(
                 {
@@ -707,15 +723,23 @@ def embedding_duplicate_pairs(
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
-        signs = (unit @ planes.T) > 0
-        keys = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
-        return pa.table(
-            {
-                "bucket": pa.array(keys, pa.int64()),
-                id_col: batch.column(id_col),
-                "unit": pa.array(unit.tolist(), pa.list_(pa.float64())),
-            }
-        )
+        ids = batch.column(id_col)
+        unit_list = pa.array(unit.tolist(), pa.list_(pa.float64()))
+        parts = []
+        for t in range(n_tables):
+            signs = (unit @ planes[t].T) > 0
+            keys = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
+            keys |= np.int64(t) << np.int64(n_planes)  # per-table namespace
+            parts.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(keys, pa.int64()),
+                        id_col: ids,
+                        "unit": unit_list,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
     def verify(group: pa.Table) -> pa.Table:
         # Same skew-capped shape as the MinHash/SimHash siblings: rows with
@@ -728,7 +752,7 @@ def embedding_duplicate_pairs(
 
         def verify_pair(i: int, j: int) -> float | None:
             c = float(unit[i] @ unit[j])
-            return round(c, 6) if c >= threshold else None
+            return c if c >= threshold else None
 
         return _cluster_verify_pairs(
             group, id_col, [u.tobytes() for u in unit], verify_pair,
