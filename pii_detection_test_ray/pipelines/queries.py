@@ -1877,13 +1877,40 @@ def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_knn_ivf(sf_dir: str) -> ray.data.Dataset:
+    """IVF ANN in its probe-all configuration (nprobe = n_clusters), which
+    is provably exact — so the DuckDB brute-force top-k oracle hash-pins
+    the ENTIRE IVF machinery end-to-end: bounded centroid sampling, seeded
+    k-means, per-row cluster assignment, per-cluster candidate scoring and
+    the coarse-bucketed global top-k reduce (round-4 verdict ask #5; the
+    previous rows-only row checked none of the values). Partial-probe
+    recall (the approximation itself) is data-dependent and stays pinned
+    by tests/test_dedup_similarity.py::test_knn_ivf_recall on clustered
+    synthetic input — random sf embeddings have NO cluster structure, so
+    nprobe < n_clusters is legitimately non-exact there (measured: only
+    nprobe=16 reproduces exact top-10). Three query vectors (vec_id
+    0/1/2), query_id = vec_id."""
     import pyarrow.parquet as pq
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    first = pq.read_table(emb_path, columns=["vec_id", "embedding"]).slice(0, 1)
-    q = np.asarray(first.to_pylist()[0]["embedding"], dtype=np.float64)
+    head = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    by_id = {
+        r["vec_id"]: r["embedding"]
+        for r in head.to_pylist()
+        if r["vec_id"] in (0, 1, 2) and r["embedding"] is not None
+    }
+    queries = np.asarray([by_id[i] for i in (0, 1, 2)], dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return knn_ivf(ds, q[None, :], k=10, n_clusters=16, nprobe=6, id_col="vec_id")
+    out = knn_ivf(
+        ds, queries, k=10, n_clusters=16, nprobe=16, id_col="vec_id"
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("score"),
+            "score",
+            _round(b.column("score"), 6),
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _melt_section(

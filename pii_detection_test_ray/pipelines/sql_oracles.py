@@ -757,6 +757,28 @@ ORACLES: dict[str, str] = {
         FROM allv a JOIN allv b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95
     """,
+    # Exact top-10 per query, three queries — the ground truth probe-all
+    # IVF must reproduce exactly (see q_knn_ivf). Same null-mask
+    # workaround as knn_cosine.
+    "knn_ivf": """
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> coalesce(x, 0.0))::DOUBLE[]
+                       AS emb
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+        ),
+        q AS (
+            SELECT vec_id AS query_id, emb FROM e WHERE vec_id IN (0, 1, 2)
+        )
+        SELECT q.query_id, r.vec_id,
+               round(list_cosine_similarity(r.emb, q.emb), 6) AS score
+        FROM q CROSS JOIN e r
+        QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY list_cosine_similarity(r.emb, q.emb) DESC, r.vec_id
+        ) <= 10
+    """,
     "knn_cosine": """
         WITH e AS (
             SELECT vec_id,
