@@ -68,6 +68,55 @@ def token_count(text: str) -> int:
     return len(tokenize_ws(text))
 
 
+def tokenize_flat(col):
+    """Vectorized ``tokenize_ws`` over a whole Arrow string column:
+    returns ``(tokens, row_idx)`` where ``tokens`` is a flat Arrow string
+    array of every token in column order and ``row_idx[i]`` is the
+    0-based row token *i* came from. Token boundaries are byte-identical
+    to the scalar ``tokenize_ws`` (same explicit ASCII whitespace run,
+    Arrow's split is RE2 like DuckDB's; pinned by
+    tests/test_functions.py::test_tokenize_flat_matches_scalar). This is
+    the hot-loop replacement for per-row Python dict tokenize-counts
+    (round-4 verdict ask #6): split, explode and empty-strip all run as
+    Arrow C++ kernels."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pc.split_pattern_regex(
+        pc.fill_null(col, ""), pattern="[ \t\n\r\x0c]+"
+    )
+    lengths = pc.list_value_length(s).to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(len(col), dtype=np.int64), lengths)
+    flat = pc.list_flatten(s)
+    # split_pattern_regex emits '' at leading/trailing separators; drop
+    # them (tokenize_ws never yields an empty token).
+    mask = pc.not_equal(flat, "")
+    keep = mask.to_numpy(zero_copy_only=False)
+    return flat.filter(mask), row_idx[keep]
+
+
+def ngram_join_flat(tokens, row_idx, n: int):
+    """Vectorized space-joined token *n*-grams over ``tokenize_flat``
+    output: returns ``(grams, gram_row_idx)`` — every n-gram whose *n*
+    tokens fall in the same source row, built with ONE
+    ``binary_join_element_wise`` over shifted slices (no per-row Python;
+    same grams as ``distinct_ngrams`` before its set-dedup)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    m = len(tokens) - n + 1
+    if m <= 0:
+        return pa.array([], pa.string()), np.empty(0, dtype=np.int64)
+    parts = [tokens.slice(i, m) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    same_row = row_idx[: m] == row_idx[n - 1 :]
+    return grams.filter(pa.array(same_row)), row_idx[:m][same_row]
+
+
 def symbol_ratio(text: str) -> float:
     """Fraction of characters that are neither alphanumeric (any script)
     nor whitespace. 0.0 for empty text."""

@@ -248,19 +248,23 @@ def q_vocab_top_tokens(sf_dir: str) -> ray.data.Dataset:
     shuffle carries (token, count) partials, never token streams) → global
     sum → top-k with a deterministic (count desc, token asc) tie-break so
     the boundary is cross-engine stable."""
-    from ..functions.quality import tokenize_ws
+    from ..functions.quality import tokenize_flat
 
     ds = _read(sf_dir, "documents", ["text"])
 
     def partials(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in batch.column("text").to_pylist():
-            for tok in tokenize_ws(t or ""):
-                counts[tok] = counts.get(tok, 0) + 1
+        # Arrow split + explode + dictionary-encode + bincount — the whole
+        # tokenize-count runs in C++/numpy (round-4 verdict ask #6).
+        flat, _ = tokenize_flat(batch.column("text"))
+        d = pc.dictionary_encode(flat)
+        counts = np.bincount(
+            d.indices.to_numpy(zero_copy_only=False),
+            minlength=len(d.dictionary),
+        )
         return pa.table(
             {
-                "token": pa.array(list(counts), pa.string()),
-                "n": pa.array(list(counts.values()), pa.int64()),
+                "token": d.dictionary,
+                "n": pa.array(counts, pa.int64()),
             }
         )
 
@@ -287,28 +291,28 @@ def q_tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
     join plan; computing df where the join would have co-located the rows
     anyway deletes the materialization AND two whole exchanges) →
     coarse-bucketed per-doc top-k."""
-    from ..functions.quality import tokenize_ws
+    from ..functions.quality import tokenize_flat
     from ..stages.windows import top_k_per_group
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def tf_pairs(batch: pa.Table) -> pa.Table:
-        ids: list[int] = []
-        terms: list[str] = []
-        tfs: list[int] = []
-        for doc_id, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            counts: dict[str, int] = {}
-            for tok in tokenize_ws(t or ""):
-                counts[tok] = counts.get(tok, 0) + 1
-            ids.extend([doc_id] * len(counts))
-            terms.extend(counts)
-            tfs.extend(counts.values())
+        # Vectorized (doc, term, tf): Arrow split/explode/dictionary-
+        # encode, then one np.unique over composite (row, term-code) keys
+        # — no per-row Python dicts (round-4 verdict ask #6).
+        flat, rows = tokenize_flat(batch.column("text"))
+        d = pc.dictionary_encode(flat)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(d.dictionary)
+        key = rows * k + codes if k else rows
+        uniq, tfs = np.unique(key, return_counts=True)
+        doc_idx = pa.array(uniq // k if k else uniq, pa.int64())
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "term": pa.array(terms, pa.string()),
+                "doc_id": batch.column("doc_id").take(doc_idx),
+                "term": d.dictionary.take(
+                    pa.array(uniq % k if k else uniq, pa.int64())
+                ),
                 "tf": pa.array(tfs, pa.int64()),
             }
         )
@@ -389,19 +393,33 @@ def q_crossdoc_ngrams(sf_dir: str) -> ray.data.Dataset:
     partials, never per-doc gram streams; at 100 TB the exchange is bounded
     by distinct-gram cardinality × blocks, not corpus tokens. Deterministic
     (n_docs desc, gram asc) top-50 boundary."""
-    from ..functions.quality import distinct_ngrams
+    from ..functions.quality import ngram_join_flat, tokenize_flat
 
     ds = _read(sf_dir, "documents", ["text"])
 
     def partials(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in batch.column("text").to_pylist():
-            for g in distinct_ngrams(t or "", 5):
-                counts[g] = counts.get(g, 0) + 1
+        # Vectorized distinct-per-doc gram counting: shifted-slice join
+        # builds every 5-gram in one Arrow kernel, dictionary codes +
+        # np.unique dedup (doc, gram), bincount counts docs per gram
+        # (round-4 verdict ask #6 — no per-row Python dicts).
+        flat, rows = tokenize_flat(batch.column("text"))
+        grams, gram_rows = ngram_join_flat(flat, rows, 5)
+        if len(grams) == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        d = pc.dictionary_encode(grams)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(d.dictionary)
+        uniq = np.unique(gram_rows * k + codes)  # distinct (doc, gram)
+        counts = np.bincount(uniq % k, minlength=k)
         return pa.table(
             {
-                "gram": pa.array(list(counts), pa.string()),
-                "n": pa.array(list(counts.values()), pa.int64()),
+                "gram": d.dictionary,
+                "n": pa.array(counts, pa.int64()),
             }
         )
 

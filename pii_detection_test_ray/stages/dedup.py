@@ -809,34 +809,43 @@ def jaccard_pairs_exact(
     oracle IS a collision)."""
     import pandas as pd
 
-    from ..functions.quality import tokenize_ws
+    from ..functions.quality import ngram_join_flat, tokenize_flat
 
     def postings(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        out_ids: list = []
-        out_n: list[int] = []
-        grams: list[str] = []
-        for i, t in zip(ids, texts):
-            toks = tokenize_ws(t or "")
-            doc_grams = list(
-                dict.fromkeys(
-                    " ".join(toks[j : j + ngram])
-                    for j in range(len(toks) - ngram + 1)
-                )
-            )
-            grams.extend(doc_grams)
-            out_ids.extend([i] * len(doc_grams))
-            out_n.extend([len(doc_grams)] * len(doc_grams))
-        ghash = pd.util.hash_array(
-            np.asarray(grams, dtype=object), categorize=False
-        ).view(np.int64) if grams else np.empty(0, dtype=np.int64)
+        # Vectorized postings: Arrow split + shifted-slice gram join,
+        # dictionary codes + np.unique for per-doc DISTINCT grams, one
+        # siphash over the distinct gram strings (round-4 verdict ask #6
+        # applied to the third tokenize hot loop).
         id_type = batch.schema.field(id_col).type
+        empty = pa.table(
+            {
+                "ghash": pa.array([], pa.int64()),
+                id_col: pa.array([], id_type),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        flat, rows = tokenize_flat(batch.column(text_col))
+        grams, gram_rows = ngram_join_flat(flat, rows, ngram)
+        if len(grams) == 0:
+            return empty
+        d = pc.dictionary_encode(grams)
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(d.dictionary)
+        uniq = np.unique(gram_rows * k + codes)  # distinct (doc, gram)
+        doc_idx = uniq // k
+        code_u = uniq % k
+        per_doc = np.bincount(doc_idx)[doc_idx]  # |A| rides each posting
+        dict_hash = pd.util.hash_array(
+            np.asarray(d.dictionary.to_pylist(), dtype=object),
+            categorize=False,
+        ).view(np.int64)
         return pa.table(
             {
-                "ghash": pa.array(ghash, pa.int64()),
-                id_col: pa.array(out_ids, id_type),
-                "n": pa.array(out_n, pa.int64()),
+                "ghash": pa.array(dict_hash[code_u], pa.int64()),
+                id_col: batch.column(id_col).take(
+                    pa.array(doc_idx, pa.int64())
+                ),
+                "n": pa.array(per_doc, pa.int64()),
             }
         )
 

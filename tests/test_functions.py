@@ -527,3 +527,62 @@ class TestToxicity:
         rant = ("닥쳐 이 쓰레기 등신아 꺼져 " * 8).strip()
         reasons = heuristic_reasons(quality_features(rant), QualityConfig())
         assert "toxicity" in reasons
+
+
+class TestVectorizedTokenize:
+    """tokenize_flat / ngram_join_flat must reproduce the scalar
+    tokenizer contract byte-for-byte (they replace the per-row dict
+    loops in the vocab/tfidf/crossdoc hot paths)."""
+
+    SAMPLES = [
+        "plain ascii words",
+        "  leading and trailing  ",
+        "",
+        None,
+        "tab\tsep\nnewline\rcr\x0cff",
+        "unicode nbsp　ideographic stay-joined",
+        "한국어 텍스트 with mixed   runs",
+        "\x0b vertical tab is a TOKEN char on both engines",
+        "one",
+    ]
+
+    def test_tokenize_flat_matches_scalar(self):
+        import pyarrow as pa
+
+        from pii_detection_test_ray.functions.quality import (
+            tokenize_flat,
+            tokenize_ws,
+        )
+
+        col = pa.array(self.SAMPLES, pa.string())
+        flat, rows = tokenize_flat(col)
+        got: dict[int, list[str]] = {}
+        for tok, r in zip(flat.to_pylist(), rows.tolist()):
+            got.setdefault(r, []).append(tok)
+        for i, s in enumerate(self.SAMPLES):
+            assert got.get(i, []) == tokenize_ws(s or ""), s
+
+    def test_ngram_join_flat_matches_scalar(self):
+        import pyarrow as pa
+
+        from pii_detection_test_ray.functions.quality import (
+            distinct_ngrams,
+            ngram_join_flat,
+            tokenize_flat,
+        )
+
+        texts = [
+            "a b c d e f g",
+            "a b c d e a b c d e",  # duplicate grams kept pre-dedup
+            "short one",
+            "",
+            "x y z w v",
+        ]
+        col = pa.array(texts, pa.string())
+        flat, rows = tokenize_flat(col)
+        grams, gram_rows = ngram_join_flat(flat, rows, 5)
+        per_row: dict[int, set] = {}
+        for g, r in zip(grams.to_pylist(), gram_rows.tolist()):
+            per_row.setdefault(r, set()).add(g)
+        for i, t in enumerate(texts):
+            assert per_row.get(i, set()) == distinct_ngrams(t, 5), t
