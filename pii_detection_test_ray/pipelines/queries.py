@@ -1461,6 +1461,12 @@ def q_events_asof_orders(sf_dir: str) -> ray.data.Dataset:
         orders, "user_id", "o_orderdate", "o_orderkey"
     ).drop_columns(["o_orderkey"])
 
+    # Hot-key safety via the default auto probe; the probe proxies are the
+    # RAW parquet reads (metadata-sized, so the probe is scan-free here):
+    # prep_e/rename are row-wise and keep-min only shrinks, so the raw
+    # sources upper-bound both sides' per-key row counts.
+    raw_events = _read(sf_dir, "events", ["user_id", "ts"])
+    raw_orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
     joined = asof_join(
         events.map_batches(prep_e, batch_format="pyarrow"),
         latest,
@@ -1468,6 +1474,7 @@ def q_events_asof_orders(sf_dir: str) -> ray.data.Dataset:
         left_ts="ts",
         right_ts="o_orderdate",
         inner=True,
+        probes=(raw_events, (raw_orders, "o_custkey", "o_orderdate")),
     )
     agg = partial_groupby_sum(
         joined.select_columns(["o_orderpriority", "value_micros"]),
