@@ -73,11 +73,16 @@ def _parse_ts_strings(col: pa.ChunkedArray) -> pa.ChunkedArray:
     formats (naive ISO, trailing 'Z', numeric UTC offset via %z, space
     separator, WARC 14-digit) and nulls whatever none of them match —
     unparseable timestamps drop the FIELD, never the task. Fractional
-    seconds are stripped first (Arrow strptime has no %f); offset-bearing
-    strings normalize to the UTC instant then land naive like the rest."""
+    seconds are stripped first (Arrow strptime has no %f) — ANCHORED to a
+    seconds field (``:SS.ffff`` or a 14-digit WARC stamp), not a global
+    '.digits' strip: '202105011200.00' or '2021.0501120000' are malformed
+    inputs that must NULL, not collapse into a 14-digit form and parse
+    into a wrong instant (round-4 advice). Offset-bearing strings
+    normalize to the UTC instant then land naive like the rest."""
     import pyarrow.compute as pc
 
-    s = pc.replace_substring_regex(col, r"\.[0-9]+", "")
+    s = pc.replace_substring_regex(col, r"(:[0-9]{2})\.[0-9]+", r"\1")
+    s = pc.replace_substring_regex(s, r"^([0-9]{14})\.[0-9]+$", r"\1")
     out = None
     for fmt, tz_aware in [
         ("%Y-%m-%dT%H:%M:%S", False),

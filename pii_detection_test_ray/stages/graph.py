@@ -47,6 +47,7 @@ def connected_components(
     max_rounds: int = 50,
     checkpoint_dir: str | None = None,
     small_threshold: int = 200_000,
+    resume_token: str | None = None,
 ) -> ray.data.Dataset:
     """(node, component) for every node that appears in ``edges``;
     ``component`` = min node id of the connected component. Nodes with no
@@ -54,13 +55,20 @@ def connected_components(
     (doc_id, doc_id) for ids absent from this output (a left join).
     Raises if ``max_rounds`` does not reach the fixed point.
 
-    ``checkpoint_dir`` is a RESUME TOKEN for one input: completed stages
-    are skipped via `_complete` markers, so reusing a dir with DIFFERENT
-    edges silently replays the previous run's clustering — pass a fresh
-    dir (the default mkdtemp) or clear it between inputs, exactly like
-    ``pipelines/curate.py`` phase checkpoints. On a clean finish the
-    intermediate round files are deleted; only the final labels remain
-    (a crashed run keeps everything for resume).
+    Checkpoint semantics (round-4 advice hardened both):
+    * ``checkpoint_dir`` + ``resume_token``: completed stages are skipped
+      via ``_complete`` markers, and the marker now RECORDS the caller's
+      ``resume_token`` — reusing a dir whose markers carry a different
+      token invalidates those stages instead of silently replaying the
+      previous input's clustering. Callers that reuse dirs across inputs
+      should derive the token from the edge set's identity (source path +
+      version); None keeps markers tokenless (fresh-dir usage).
+    * /tmp hygiene: a default (mkdtemp) dir is registered for removal at
+      process exit — after the returned lazy dataset has been consumable
+      for the whole session — and the adaptive small path (whose result
+      is already driver-memory) removes it immediately; repeated runs no
+      longer accumulate unbounded /tmp parquet. On a clean distributed
+      finish the intermediate round files are deleted either way.
 
     Adaptive like the repo's joins: after the distributed canonical-dedup
     pass, a pair set of ≤ ``small_threshold`` DISTINCT edges (a few MB —
@@ -68,7 +76,18 @@ def connected_components(
     pass; larger pair sets run the iterative distributed loop below. The
     same small-side-vs-bucketed routing rule as ``stages/joins.hash_join``
     — each loop round costs several fixed-overhead Ray jobs, which the
-    driver path amortizes away exactly when the data is driver-sized."""
+    driver path amortizes away exactly when the data is driver-sized.
+
+    Skew (documented single-reducer assumption, round-4 advice): message
+    reduce and relabel joins key by NODE (uniform), but a giant component
+    concentrates rows on its minimum label — its star's edges in the
+    relabel join and its nodes' pointer rows in the pointer-jump join land
+    in that label's bucket, O(|component|) tiny int64 rows (~24 B each) in
+    one reducer for the round. The map-side min-combiner below keeps the
+    MESSAGE volume at ≤ blocks × distinct-nodes-per-block, so the binding
+    case is a duplicate cluster of ~10⁹ members (~24 GB in one task). If
+    that ever binds: salt the pointer-jump left side and replicate the
+    (unique-per-ptr) right side per salt — the join stays exact."""
     import pyarrow.compute as pc
 
     from .joins import _auto_num_buckets, bucketed_hash_join
@@ -76,8 +95,13 @@ def connected_components(
 
     if edges.schema() is None:
         return ray.data.from_arrow(_empty_labels())
-    if checkpoint_dir is None:
+    owned_dir = checkpoint_dir is None
+    if owned_dir:
         checkpoint_dir = tempfile.mkdtemp(prefix="pdtr_cc_")
+        import atexit
+        import shutil as _shutil
+
+        atexit.register(_shutil.rmtree, checkpoint_dir, ignore_errors=True)
     nb = _auto_num_buckets(edges)
 
     def canonical(batch: pa.Table) -> pa.Table:
@@ -97,13 +121,21 @@ def connected_components(
         checkpoint_dir,
         "edges_0",
         nb,
+        token=resume_token,
     )
 
     # take(threshold+1) bounds driver memory whether or not the set is
     # small; only a genuinely small set is ever fully collected.
     probe = e.take(small_threshold + 1)
     if len(probe) <= small_threshold:
-        return ray.data.from_arrow(_union_find_table(probe))
+        out = ray.data.from_arrow(_union_find_table(probe))
+        if owned_dir:
+            # The result is driver-memory; the owned tmp dir has no
+            # further reader — remove it now, not just at process exit.
+            import shutil
+
+            shutil.rmtree(checkpoint_dir, ignore_errors=True)
+        return out
 
     def as_labels(batch: pa.Table) -> pa.Table:
         return pa.concat_tables(
@@ -128,6 +160,7 @@ def connected_components(
         checkpoint_dir,
         "labels_0",
         nb,
+        token=resume_token,
     )
 
     prev_sum = None
@@ -170,17 +203,26 @@ def connected_components(
         both = _ckpt(
             both, checkpoint_dir, f"relabel_{r}", nb,
             pa.schema([(c, pa.int64()) for c in ("u", "v", "lu", "lv")]),
+            token=resume_token,
         )
 
         # messages: the per-edge minimum reaches both endpoints AND both
-        # endpoint labels; merged = min(labels, messages)
+        # endpoint labels; merged = min(labels, messages). The map-side
+        # min-combiner (one Arrow group_by per batch) bounds a hot label's
+        # bucket at ≤ blocks rows instead of O(its component's edges) —
+        # the skew note in the operator docstring.
         def msgs_batch(t: pa.Table) -> pa.Table:
             m = pc.min_element_wise(t.column("lu"), t.column("lv"))
             parts = [
                 pa.table({"node": t.column(c), "label": m})
                 for c in ("u", "v", "lu", "lv")
             ]
-            return pa.concat_tables(parts)
+            combined = (
+                pa.concat_tables(parts)
+                .group_by("node")
+                .aggregate([("label", "min")])
+            )
+            return combined.rename_columns(["node", "label"])
 
         merged = (
             coarse_bucketed_groupby(
@@ -195,7 +237,9 @@ def connected_components(
                 batch_format="pyarrow",
             )
         )
-        merged = _ckpt(merged, checkpoint_dir, f"merged_{r}", nb)
+        merged = _ckpt(
+            merged, checkpoint_dir, f"merged_{r}", nb, token=resume_token
+        )
 
         # pointer jump: label(v) ← label(label(v)). merged is unique per
         # node and every label IS a node, so the inner self-join emits
@@ -218,7 +262,9 @@ def connected_components(
         ).map_batches(
             lambda t: t.select(["node", "label"]), batch_format="pyarrow"
         )
-        labels = _ckpt(labels, checkpoint_dir, f"labels_{r}", nb)
+        labels = _ckpt(
+            labels, checkpoint_dir, f"labels_{r}", nb, token=resume_token
+        )
 
         # contract: next round's edges are the relabeled endpoints
         # (self-loops drop, duplicates dedup) — the edge set shrinks as
@@ -307,22 +353,34 @@ def _ckpt(
     name: str,
     nb: int,
     empty_schema: pa.Schema | None = None,
+    token: str | None = None,
 ) -> ray.data.Dataset:
     """Parquet round-trip: cuts plan lineage AND object-store references so
     every round starts from a flat on-disk read (resumable, spillable —
     the curate.py phase pattern applied per iteration). A dataset that
     shrank to zero rows (the contracted edge set at convergence) comes back
-    as an empty typed table instead of a file-less read."""
+    as an empty typed table instead of a file-less read.
+
+    ``token`` (the caller's resume_token) is written INTO the marker; a
+    pre-existing marker with different contents means the dir holds a
+    DIFFERENT input's checkpoints — the stage recomputes instead of
+    silently replaying it (round-4 advice)."""
     path = os.path.join(checkpoint_dir, name)
     marker = os.path.join(path, "_complete")
-    if not os.path.exists(marker):
+    expected = token or ""
+    done = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            done = f.read() == expected
+    if not done:
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
         ds.repartition(nb).write_parquet(path)
         # an all-empty dataset may write no files (and no directory)
         os.makedirs(path, exist_ok=True)
-        open(marker, "w").close()
+        with open(marker, "w") as f:
+            f.write(expected)
     if not any(f.endswith(".parquet") for f in os.listdir(path)):
         return ray.data.from_arrow((empty_schema or _EDGE_SCHEMA).empty_table())
     return ray.data.read_parquet(path, file_extensions=["parquet"])

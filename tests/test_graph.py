@@ -90,3 +90,46 @@ def test_components_empty_edges(ray_session):
         lambda r: False
     )
     assert connected_components(ds).take_all() == []
+
+
+def test_checkpoint_token_invalidates_stale_dir(ray_session, tmp_path):
+    """Round-4 advice: reusing a checkpoint dir with DIFFERENT edges must
+    not silently replay the previous run's clustering when the caller
+    supplies a resume token; and the default (owned tmp dir) small path
+    cleans up after itself."""
+    import os
+
+    import ray.data
+
+    from pii_detection_test_ray.stages.graph import connected_components
+
+    d = str(tmp_path / "cc")
+    e1 = ray.data.from_items(
+        [{"id_a": 1, "id_b": 2}], override_num_blocks=1
+    )
+    out1 = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            e1, checkpoint_dir=d, resume_token="v1", small_threshold=0
+        ).take_all()
+    }
+    assert out1 == {(1, 1), (2, 1)}
+    # Same dir, different edges + different token: stages recompute.
+    e2 = ray.data.from_items(
+        [{"id_a": 5, "id_b": 9}], override_num_blocks=1
+    )
+    out2 = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            e2, checkpoint_dir=d, resume_token="v2", small_threshold=0
+        ).take_all()
+    }
+    assert out2 == {(5, 5), (9, 5)}
+
+    # Owned-dir small path: no pdtr_cc_ dir survives the call.
+    import glob
+
+    before = set(glob.glob("/tmp/pdtr_cc_*"))
+    connected_components(e1, small_threshold=10).take_all()
+    after = set(glob.glob("/tmp/pdtr_cc_*"))
+    assert after - before == set()

@@ -303,6 +303,12 @@ def test_read_jsonl_pages_hostile_timestamps(ray_session, tmp_path):
         {"url": "u4", "warc_ts": "20240301100000"},
         {"url": "u5", "warc_ts": "2024-03-01 10:00:00"},
         {"url": "u6", "warc_ts": "last tuesday"},  # unparseable → null
+        # Malformed near-misses (round-4 advice): the fractional-seconds
+        # strip is anchored, so these must NULL, never collapse into a
+        # 14-digit WARC form and parse as a wrong instant.
+        {"url": "u7", "warc_ts": "202403011000.00"},
+        {"url": "u8", "warc_ts": "2024.0301100000"},
+        {"url": "u9", "warc_ts": "20240301100000.5"},  # WARC + fraction: ok
     ]
     float_lines = [
         {"url": "f1", "warc_ts": 1709287200.25},  # sub-second epoch fraction
@@ -322,6 +328,9 @@ def test_read_jsonl_pages_hostile_timestamps(ray_session, tmp_path):
     assert rows["u4"] == utc10
     assert rows["u5"] == utc10
     assert rows["u6"] is None
+    assert rows["u7"] is None  # 12-digit + fraction: malformed, not WARC
+    assert rows["u8"] is None  # dot inside the date: malformed
+    assert rows["u9"] == utc10  # true WARC stamp with a fraction
     assert rows["f1"] == utc10.replace(microsecond=250000)
 
 
