@@ -179,6 +179,10 @@ def run_queries(sf_dir: str) -> dict[str, float]:
         "customer_order_counts": Q.q_customer_order_counts,
         "exact_quantiles": Q.q_exact_quantiles,
         "sessionize": Q.q_sessionize,
+        # Round-5 oracle pairings, benched for per-round visibility:
+        "simhash_pairs": Q.q_simhash_pairs,
+        "embedding_dup_pairs": Q.q_embedding_dup_pairs,
+        "knn_ivf": Q.q_knn_ivf,
     }
     for name, fn in suite.items():
         best = float("inf")
