@@ -1764,6 +1764,10 @@ def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def planted_sig(batch: pa.Table) -> pa.Table:
+        # A NULL doc_id row can never appear in the pair output (the
+        # oracle's a.doc_id < b.doc_id is NULL → excluded), and NaN would
+        # poison the //10 group arithmetic — drop it here.
+        batch = batch.filter(pc.is_valid(batch.column("doc_id")))
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         groups = ids // 10
         bases = np.array(
@@ -1862,6 +1866,23 @@ def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     planes ⇒ P(miss) ≈ 1e-8 per planted pair; max random-pair cosine on
     this data is 0.51, far under threshold). Scores round with the shared
     cross-engine rounding, like knn_cosine."""
+    import pyarrow.parquet as pq
+
+    # The hyperplane matrix needs the embedding dimensionality up front;
+    # infer it from the first non-null vector instead of assuming 64 so
+    # the same query runs on any-width embedding tables (incl. the
+    # hostile-null fixtures).
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    head = (
+        pq.ParquetFile(emb_path)
+        .read_row_group(0, columns=["embedding"])
+        .column("embedding")
+    )
+    dim = 64
+    for v in head.to_pylist():
+        if v is not None:
+            dim = len(v)
+            break
     filtered = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def plant(batch: pa.Table) -> pa.Table:
@@ -1889,7 +1910,7 @@ def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     planted = filtered.map_batches(plant, batch_format="pyarrow")
     ds = filtered.union(planted)
     out = embedding_duplicate_pairs(
-        ds, dim=64, threshold=0.95, n_planes=10, n_tables=6
+        ds, dim=dim, threshold=0.95, n_planes=10, n_tables=6
     )
     return out.map_batches(
         lambda b: b.set_column(
@@ -1923,19 +1944,27 @@ def q_knn_ivf(sf_dir: str) -> ray.data.Dataset:
         for r in head.to_pylist()
         if r["vec_id"] in (0, 1, 2) and r["embedding"] is not None
     }
-    queries = np.asarray([by_id[i] for i in (0, 1, 2)], dtype=np.float64)
+    # A null-embedding query vector simply isn't a query (the oracle's
+    # WHERE embedding IS NOT NULL does the same); query_id stays = vec_id
+    # through the position remap below.
+    avail = [i for i in (0, 1, 2) if i in by_id]
+    queries = np.asarray([by_id[i] for i in avail], dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = knn_ivf(
         ds, queries, k=10, n_clusters=16, nprobe=16, id_col="vec_id"
     )
-    return out.map_batches(
-        lambda b: b.set_column(
-            b.column_names.index("score"),
-            "score",
-            _round(b.column("score"), 6),
-        ),
-        batch_format="pyarrow",
-    )
+    qid_map = pa.array(avail, pa.int64())
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": pc.take(qid_map, b.column("query_id")),
+                "vec_id": b.column("vec_id"),
+                "score": _round(b.column("score"), 6),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def _melt_section(

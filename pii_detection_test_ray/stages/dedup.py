@@ -146,14 +146,23 @@ def _cluster_verify_pairs(
     score_type: pa.DataType,
     emit_identical: bool = True,
     pair_gate=None,
+    identical_pairs: str = "linear",
 ) -> pa.Table:
     """Shared skew-capped pair emission for one LSH/chunk bucket.
 
     Rows with an identical ``cluster_key`` are exact duplicates under the
-    operator's signature: each member pairs LINEARLY with its cluster's
-    min-id head at ``identical_score`` (O(N), enough for keep-min dedup).
-    The O(reps²) ``verify_fn(i, j) -> score|None`` pass then runs only
-    across distinct-signature representatives, capped at _MAX_BUCKET_REPS
+    operator's signature. ``identical_pairs`` picks their emission:
+    ``"linear"`` pairs each member with its cluster's min-id head at
+    ``identical_score`` (O(N), enough for keep-min dedup);
+    ``"all"`` emits every within-cluster pair — the contract of a
+    pair-LISTING operator (a cluster of m identical docs owes all C(m,2)
+    pairs; the output itself is O(m²), so the emission adds no asymptotic
+    cost — the ``_candidates_from_group`` band-0 philosophy), with the
+    projected emission capped LOUDLY at ``_MAX_BUCKET_PAIRS`` (beyond it
+    the input is near-clone-saturated and the caller wants a keep-min
+    dedup, not an exhaustive listing). The O(reps²)
+    ``verify_fn(i, j) -> score|None`` pass then runs only across
+    distinct-signature representatives, capped at _MAX_BUCKET_REPS
     (beyond that the bucket is pathological input).
 
     Canonical-emission hooks (so a pair colliding in several bands/chunks
@@ -168,16 +177,38 @@ def _cluster_verify_pairs(
         clusters.setdefault(key, []).append(i)
     a_out, b_out, s_out = [], [], []
     reps: list[int] = []
+    if emit_identical and identical_pairs == "all":
+        projected = sum(
+            len(m) * (len(m) - 1) // 2 for m in clusters.values()
+        )
+        if projected > _MAX_BUCKET_PAIRS:
+            raise ValueError(
+                f"identical-signature clusters would emit ~{projected} "
+                f"pairs (> {_MAX_BUCKET_PAIRS}): near-clone-saturated "
+                "input — use a keep-min dedup path instead of exhaustive "
+                "pair listing"
+            )
+    cluster_of: dict[int, list[int]] = {}
     for members in clusters.values():
         members.sort(key=lambda i: ids[i])
         head = members[0]
         reps.append(head)
+        cluster_of[head] = members
         if emit_identical:
-            for other in members[1:]:
-                if ids[other] != ids[head]:
-                    a_out.append(ids[head])
-                    b_out.append(ids[other])
-                    s_out.append(identical_score)
+            if identical_pairs == "all":
+                for x in range(len(members)):
+                    for y in range(x + 1, len(members)):
+                        i, j = members[x], members[y]
+                        if ids[i] != ids[j]:
+                            a_out.append(ids[i])
+                            b_out.append(ids[j])
+                            s_out.append(identical_score)
+            else:
+                for other in members[1:]:
+                    if ids[other] != ids[head]:
+                        a_out.append(ids[head])
+                        b_out.append(ids[other])
+                        s_out.append(identical_score)
     reps.sort(key=lambda i: ids[i])
     reps = reps[:_MAX_BUCKET_REPS]
     for x in range(len(reps)):
@@ -188,7 +219,30 @@ def _cluster_verify_pairs(
             if pair_gate is not None and not pair_gate(i, j):
                 continue
             score = verify_fn(i, j)
-            if score is not None:
+            if score is None:
+                continue
+            if identical_pairs == "all":
+                # Listing contract: a qualifying rep pair expands to the
+                # full cross-product of the two identical-signature
+                # clusters — every member shares its head's byte-identical
+                # key, so the one verified score applies to every expanded
+                # pair exactly (the _candidates_from_group expansion, with
+                # the score known up front). Capped loudly below.
+                for mi in cluster_of[i]:
+                    for mj in cluster_of[j]:
+                        if ids[mi] == ids[mj]:
+                            continue
+                        a, b = sorted((ids[mi], ids[mj]))
+                        a_out.append(a)
+                        b_out.append(b)
+                        s_out.append(score)
+                if len(a_out) > _MAX_BUCKET_PAIRS:
+                    raise ValueError(
+                        f"pair listing exceeded {_MAX_BUCKET_PAIRS} rows "
+                        "in one bucket: near-clone-saturated input — use "
+                        "a keep-min dedup path instead"
+                    )
+            else:
                 a_out.append(ids[i])
                 b_out.append(ids[j])
                 s_out.append(score)
@@ -475,6 +529,8 @@ def simhash_duplicate_pairs(
             identical_score=0, score_name="hamming", score_type=pa.int64(),
             emit_identical=(chunk == 0),
             pair_gate=lambda i, j: first_equal_chunk(i, j) == chunk,
+            identical_pairs="all",  # pair-LISTING operator: hamming-0
+            # clusters owe all C(m,2) pairs (the SQL self-join emits them)
         )
 
     pairs = _coarse_bucketed_pairs(
@@ -757,6 +813,9 @@ def embedding_duplicate_pairs(
         return _cluster_verify_pairs(
             group, id_col, [u.tobytes() for u in unit], verify_pair,
             identical_score=1.0, score_name="cosine", score_type=pa.float64(),
+            identical_pairs="all",  # pair-LISTING operator: identical-unit
+            # clusters owe all C(m,2) pairs (the brute-force oracle emits
+            # them); the keep-min dedup semantics live in dedup_minhash
         )
 
     pairs = _coarse_bucketed_pairs(

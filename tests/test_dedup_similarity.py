@@ -154,9 +154,13 @@ def test_knn_ivf_recall(ray_session):
     assert 3 in approx
 
 
-def test_embedding_bucket_skew_cap(ray_session):
-    """A mass-duplicated vector produces linear head-anchored pairs (shared
-    cluster-verify path), not O(n^2) — mirroring the MinHash skew cap."""
+def test_embedding_identical_cluster_listing(ray_session):
+    """Pair-LISTING contract (round 5, matching the brute-force oracle):
+    a mass-duplicated vector's identical-unit cluster owes ALL C(m,2)
+    pairs at cosine 1.0 — the output itself is O(m²), so the emission adds
+    no asymptotic cost, and the O(reps²) verify pass still runs only over
+    distinct-unit representatives (the skew cap that matters). Keep-min
+    dedup semantics live in dedup_minhash, not here."""
     from pii_detection_test_ray.stages.dedup import embedding_duplicate_pairs
 
     rng = np.random.RandomState(3)
@@ -171,10 +175,18 @@ def test_embedding_bucket_skew_cap(ray_session):
     pairs = embedding_duplicate_pairs(
         ds, dim=16, threshold=0.98, n_planes=8
     ).take_all()
-    dup_pairs = [p for p in pairs if p["id_a"] < 50 and p["id_b"] < 50]
-    assert {p["id_a"] for p in dup_pairs} == {0}  # all anchored at cluster min
-    assert {p["id_b"] for p in dup_pairs} == set(range(1, 50))
-    assert all(p["cosine"] == 1.0 for p in dup_pairs)
+    dup_pairs = {
+        (p["id_a"], p["id_b"]) for p in pairs
+        if p["id_a"] < 50 and p["id_b"] < 50
+    }
+    assert dup_pairs == {
+        (i, j) for i in range(50) for j in range(i + 1, 50)
+    }
+    assert all(
+        p["cosine"] == 1.0
+        for p in pairs
+        if p["id_a"] < 50 and p["id_b"] < 50
+    )
 
 
 def _mutation_corpus(n_families=12, variants=4, seed=11):
@@ -263,25 +275,18 @@ def test_simhash_pairs_match_pure_python_oracle(ray_session):
     from pii_detection_test_ray.stages.dedup import simhash_duplicate_pairs
 
     rows = _mutation_corpus(n_families=10, variants=3, seed=23)
-    # Representative compression mirrors the operator: identical SimHash
-    # values cluster; the min-id head alone does brute pairing, members
-    # pair with their head at distance 0.
-    clusters: dict[int, list[str]] = {}
-    for r in rows:
-        clusters.setdefault(simhash64(r["text"]), []).append(r["url"])
+    # Round-5 listing contract: the operator owes EVERY pair at hamming
+    # ≤ 3, including all C(m,2) pairs of an identical-signature cluster
+    # (the DuckDB bit_count(xor) self-join emits them) — so the brute
+    # force is literally all pairs.
+    sigs = {r["url"]: simhash64(r["text"]) for r in rows}
+    urls = sorted(sigs)
     expected = {}
-    heads = []
-    for h, urls in clusters.items():
-        urls.sort()
-        heads.append((urls[0], h))
-        for other in urls[1:]:
-            expected[(urls[0], other)] = 0
-    for i in range(len(heads)):
-        for j in range(i + 1, len(heads)):
-            d = hamming64(heads[i][1], heads[j][1])
+    for i in range(len(urls)):
+        for j in range(i + 1, len(urls)):
+            d = hamming64(sigs[urls[i]], sigs[urls[j]])
             if d <= 3:
-                a, b = sorted((heads[i][0], heads[j][0]))
-                expected[(a, b)] = d
+                expected[(urls[i], urls[j])] = d
 
     ds = ray.data.from_items(rows, override_num_blocks=3)
     got = {

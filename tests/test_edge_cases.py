@@ -231,6 +231,8 @@ class TestNullTextRows:
             # null lang / source / n_chars coverage (round-4 close):
             "exact_quantiles", "adaptive_quality_gate", "top_docs_per_lang",
             "grouping_rollup", "lang_source_pivot", "top_longest",
+            # round-5 pairing (planted signatures key on doc_id only):
+            "simhash_pairs",
         ]
         problems = []
         for name in names:
@@ -559,7 +561,14 @@ class TestNullMiscTables:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
             )
         problems = []
-        for name in ("lineitem_rollup", "fuzzy_supplier_pairs", "knn_cosine"):
+        for name in (
+            "lineitem_rollup", "fuzzy_supplier_pairs", "knn_cosine",
+            # round-5 pairings: vec 1 is NULL, so knn_ivf must drop that
+            # query vector (query_id stays = vec_id) and the near-dup
+            # plant must skip it; vectors here are 8-dim, so the planted
+            # plane matrix must infer width from the data.
+            "knn_ivf", "embedding_dup_pairs",
+        ):
             got = to_pandas(QUERIES[name](str(tmp_path)))
             exp = con.execute(ORACLES[name]).fetchdf()
             problems += [(name, p) for p in compare(name, got, exp)]
