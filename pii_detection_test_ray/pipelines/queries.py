@@ -1612,20 +1612,32 @@ def q_top_docs_per_lang(sf_dir: str) -> ray.data.Dataset:
     return top_k_per_group(ds, "lang", "n_chars", "doc_id", k=3)
 
 
+def _query_vectors(emb_path: str, wanted: tuple) -> dict:
+    """{vec_id: embedding} for the wanted non-null ids, scanning parquet
+    ROW GROUPS incrementally and stopping as soon as all are found — a
+    100-TB embeddings table must never be fully read on the driver just
+    to pick a few query vectors."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(emb_path)
+    out: dict = {}
+    for rg in range(pf.num_row_groups):
+        tbl = pf.read_row_group(rg, columns=["vec_id", "embedding"])
+        for row in tbl.to_pylist():
+            if row["vec_id"] in wanted and row["embedding"] is not None:
+                out.setdefault(row["vec_id"], row["embedding"])
+        if len(out) == len(wanted):
+            break
+    return out
+
+
 def q_knn_cosine(sf_dir: str) -> ray.data.Dataset:
     """Brute-force cosine top-k over the embeddings table; the query vector
     is vec_id 0's embedding. Scores in exact float64 (both engines upcast
     the float32 column), so values hash-match DuckDB."""
-    import pyarrow.parquet as pq
-
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    table = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    q = None
-    for row in table.slice(0, 64).to_pylist():
-        if row["vec_id"] == 0:
-            q = np.asarray(row["embedding"], dtype=np.float64)
-            break
-    assert q is not None
+    found = _query_vectors(emb_path, (0,))
+    q = np.asarray(found[0], dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = knn_brute_force(ds, q[None, :], k=10, id_col="vec_id")
     return out.select_columns(["vec_id", "score"]).map_batches(
@@ -1935,15 +1947,8 @@ def q_knn_ivf(sf_dir: str) -> ray.data.Dataset:
     nprobe < n_clusters is legitimately non-exact there (measured: only
     nprobe=16 reproduces exact top-10). Three query vectors (vec_id
     0/1/2), query_id = vec_id."""
-    import pyarrow.parquet as pq
-
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    head = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    by_id = {
-        r["vec_id"]: r["embedding"]
-        for r in head.to_pylist()
-        if r["vec_id"] in (0, 1, 2) and r["embedding"] is not None
-    }
+    by_id = _query_vectors(emb_path, (0, 1, 2))
     # A null-embedding query vector simply isn't a query (the oracle's
     # WHERE embedding IS NOT NULL does the same); query_id stays = vec_id
     # through the position remap below.

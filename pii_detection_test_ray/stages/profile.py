@@ -2,11 +2,13 @@
 and approximate distinct cardinality — the data-quality summary every
 ingestion pipeline runs before trusting a new drop of data.
 
-Two bounded scans of the SOURCE (not one): the partials pass folds
-nulls + HLL registers, and a typed ``ds.aggregate`` computes min/max
-(folding rendered strings would order numerics lexicographically).
-Profile a table or checkpoint, not an expensive lazy lineage — each
-scan re-executes it.
+ONE bounded scan of the SOURCE: the partials pass folds nulls, HLL
+registers AND typed per-batch min/max (pickled Arrow scalar values —
+rendered to strings only at the very end, because folding rendered
+strings would order numerics lexicographically). Round 5 merged what
+used to be a second full ``ds.aggregate`` scan into the partials —
+profiling a 100-TB table now reads it once, and profiling a lazy
+lineage no longer executes it twice.
 
 Plan shape: per-batch partials compute every column's stats in one pass
 over the batch (Arrow kernels for nulls/min/max, one vectorized HLL
@@ -45,12 +47,13 @@ def profile_table(
     schema = ds.schema()
     cols = columns or list(schema.names)
 
+    import pickle
+
     def partials(batch: pa.Table) -> pa.Table:
         names: list[str] = []
         n_rows: list[int] = []
         n_nulls: list[int] = []
-        mins: list[str | None] = []
-        maxs: list[str | None] = []
+        mms: list[bytes] = []
         hlls: list[bytes] = []
         for c in cols:
             col = batch.column(c)
@@ -62,24 +65,45 @@ def profile_table(
             if len(valid):
                 hll.add_hashes(hash64_column(valid))
             hlls.append(hll.registers.tobytes())
+            # Typed per-batch min/max (Arrow kernel; skips nulls/NaN),
+            # pickled as python values so one binary column carries any
+            # source type through the reduce.
+            mm = pc.min_max(col)
+            mms.append(
+                pickle.dumps((mm["min"].as_py(), mm["max"].as_py()))
+            )
         return pa.table(
             {
                 "column": pa.array(names, pa.string()),
                 "n_rows": pa.array(n_rows, pa.int64()),
                 "n_nulls": pa.array(n_nulls, pa.int64()),
                 "hll": pa.array(hlls, pa.binary()),
+                "mm": pa.array(mms, pa.binary()),
             }
         )
 
     def merge_column(group: pa.Table) -> pa.Table:
         # One task per column: counts add; HLL registers fold as ONE
-        # numpy matrix max over the column's per-block partials.
+        # numpy matrix max over the column's per-block partials; typed
+        # min/max re-reduce through the same Arrow kernel that produced
+        # them (so cross-batch ordering is Arrow's, never python's).
         m = 1 << hll_precision
         regs = np.frombuffer(
             b"".join(group.column("hll").to_pylist()), dtype=np.uint8
         ).reshape(group.num_rows, m)
         hll = HyperLogLog(hll_precision)
         hll.registers = regs.max(axis=0)
+        lows, highs = [], []
+        for blob in group.column("mm").to_pylist():
+            lo, hi = pickle.loads(blob)
+            if lo is not None:
+                lows.append(lo)
+            if hi is not None:
+                highs.append(hi)
+        lo_hi = (
+            pc.min_max(pa.array(lows))["min"].as_py() if lows else None,
+            pc.min_max(pa.array(highs))["max"].as_py() if highs else None,
+        )
         return pa.table(
             {
                 "column": group.column("column").slice(0, 1),
@@ -90,6 +114,7 @@ def profile_table(
                     [pc.sum(group.column("n_nulls")).as_py()], pa.int64()
                 ),
                 "hll": pa.array([hll.registers.tobytes()], pa.binary()),
+                "mm": pa.array([pickle.dumps(lo_hi)], pa.binary()),
             }
         )
 
@@ -99,28 +124,27 @@ def profile_table(
         .map_groups(merge_column, batch_format="pyarrow")
         .take_all()
     )  # exactly one row per column crosses to the driver
-    acc: dict[str, dict] = {
-        row["column"]: {
+    acc: dict[str, dict] = {}
+    for row in reduced:
+        lo, hi = pickle.loads(row["mm"])
+        acc[row["column"]] = {
             "n": row["n_rows"],
             "nulls": row["n_nulls"],
             "hll": HyperLogLog.from_bytes(row["hll"], p=hll_precision),
+            "min": None if lo is None else str(lo),
+            "max": None if hi is None else str(hi),
         }
-        for row in reduced
-    }
     for c in cols:  # a zero-block dataset still reports every column
         acc.setdefault(
-            c, {"n": 0, "nulls": 0, "hll": HyperLogLog(hll_precision)}
+            c,
+            {
+                "n": 0,
+                "nulls": 0,
+                "hll": HyperLogLog(hll_precision),
+                "min": None,
+                "max": None,
+            },
         )
-
-    # Min/max in one TYPED aggregate pass (folding rendered strings would
-    # order numerics lexicographically); rendered to text only at the end.
-    from ray.data.aggregate import Max, Min
-
-    bounds = ds.aggregate(*[agg(c) for c in cols for agg in (Min, Max)])
-    for c in cols:
-        lo, hi = bounds.get(f"min({c})"), bounds.get(f"max({c})")
-        acc[c]["min"] = None if lo is None else str(lo)
-        acc[c]["max"] = None if hi is None else str(hi)
 
     return pa.table(
         {
