@@ -92,11 +92,13 @@ def _num_buckets_for(*sides: ray.data.Dataset) -> int:
 def _probe_side(ds: ray.data.Dataset, key: str, ts_col: str):
     """Bounded skew probe of one join side: returns (max_key_rows,
     bytes_per_row, ts_min_us, ts_max_us) — max_key_rows is a lower bound
-    within total/64 of the true hottest-key count (per-batch local
-    heavy-hitter emission: a key must hold ≥ 1/64 of some batch to be
-    counted, so a globally-hot key is captured wherever it is locally
-    heavy). Everything reduces through combiner exchanges; only a handful
-    of scalar aggregates reach the driver."""
+    within max(16 × batches, total/64) of the true hottest-key count
+    (per-batch local heavy-hitter emission with threshold
+    max(16, batch/64): a key is counted wherever it is locally heavy, so
+    a genuinely bucket-overflowing key — orders of magnitude past the
+    probe's resolution — cannot hide). Everything reduces through one
+    combiner exchange; only a handful of scalar aggregates reach the
+    driver."""
     from ray.data.aggregate import Max, Min, Sum
 
     from ..functions.hashing import hash64_column
