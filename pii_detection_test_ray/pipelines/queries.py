@@ -1612,6 +1612,18 @@ def q_top_docs_per_lang(sf_dir: str) -> ray.data.Dataset:
     return top_k_per_group(ds, "lang", "n_chars", "doc_id", k=3)
 
 
+_EMPTY_KNN_SCHEMA = pa.schema(
+    [("vec_id", pa.int64()), ("score", pa.float64())]
+)
+_EMPTY_KNN_IVF_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("vec_id", pa.int64()),
+        ("score", pa.float64()),
+    ]
+)
+
+
 def _query_vectors(emb_path: str, wanted: tuple) -> dict:
     """{vec_id: embedding} for the wanted non-null ids, scanning parquet
     ROW GROUPS incrementally and stopping as soon as all are found — a
@@ -1637,6 +1649,8 @@ def q_knn_cosine(sf_dir: str) -> ray.data.Dataset:
     the float32 column), so values hash-match DuckDB."""
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     found = _query_vectors(emb_path, (0,))
+    if 0 not in found:  # query vector null/absent → empty top-k, typed
+        return ray.data.from_arrow(_EMPTY_KNN_SCHEMA.empty_table())
     q = np.asarray(found[0], dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = knn_brute_force(ds, q[None, :], k=10, id_col="vec_id")
@@ -1778,9 +1792,12 @@ def q_simhash_pairs(sf_dir: str) -> ray.data.Dataset:
     def planted_sig(batch: pa.Table) -> pa.Table:
         # A NULL doc_id row can never appear in the pair output (the
         # oracle's a.doc_id < b.doc_id is NULL → excluded), and NaN would
-        # poison the //10 group arithmetic — drop it here.
+        # poison the //10 group arithmetic — drop it here. abs() matches
+        # the oracle's abs(): numpy floor-division/modulo and DuckDB's
+        # truncating //,% disagree on NEGATIVE ids (and a negative shift
+        # count errors in DuckDB), so the plant is defined on |doc_id|.
         batch = batch.filter(pc.is_valid(batch.column("doc_id")))
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = np.abs(batch.column("doc_id").to_numpy(zero_copy_only=False))
         groups = ids // 10
         bases = np.array(
             [
@@ -1883,17 +1900,21 @@ def q_embedding_dup_pairs(sf_dir: str) -> ray.data.Dataset:
     # The hyperplane matrix needs the embedding dimensionality up front;
     # infer it from the first non-null vector instead of assuming 64 so
     # the same query runs on any-width embedding tables (incl. the
-    # hostile-null fixtures).
+    # hostile-null fixtures). Scans ROW GROUPS until one holds a non-null
+    # vector (an all-null leading group must not silently fall back to a
+    # wrong width and crash the matmul later).
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    head = (
-        pq.ParquetFile(emb_path)
-        .read_row_group(0, columns=["embedding"])
-        .column("embedding")
-    )
+    pf = pq.ParquetFile(emb_path)
     dim = 64
-    for v in head.to_pylist():
-        if v is not None:
-            dim = len(v)
+    for rg in range(pf.num_row_groups):
+        head = pf.read_row_group(rg, columns=["embedding"]).column(
+            "embedding"
+        )
+        found_dim = next(
+            (len(v) for v in head.to_pylist() if v is not None), None
+        )
+        if found_dim is not None:
+            dim = found_dim
             break
     filtered = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
@@ -1953,6 +1974,8 @@ def q_knn_ivf(sf_dir: str) -> ray.data.Dataset:
     # WHERE embedding IS NOT NULL does the same); query_id stays = vec_id
     # through the position remap below.
     avail = [i for i in (0, 1, 2) if i in by_id]
+    if not avail:  # every query vector null/absent → empty result, typed
+        return ray.data.from_arrow(_EMPTY_KNN_IVF_SCHEMA.empty_table())
     queries = np.asarray([by_id[i] for i in avail], dtype=np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = knn_ivf(

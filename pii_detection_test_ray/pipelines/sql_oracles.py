@@ -468,12 +468,13 @@ ORACLES: dict[str, str] = {
     "simhash_pairs": """
         WITH s AS (
             SELECT doc_id,
-                   xor(CAST(concat('0x', substr(md5(CAST(doc_id // 10
+                   xor(CAST(concat('0x', substr(md5(CAST(abs(doc_id) // 10
                                                          AS VARCHAR)), 1, 16))
                             AS UBIGINT),
-                       CAST(1 AS UBIGINT) << CAST(doc_id % 10 AS INTEGER))
-                       AS sig
+                       CAST(1 AS UBIGINT)
+                           << CAST(abs(doc_id) % 10 AS INTEGER)) AS sig
             FROM documents
+            WHERE doc_id IS NOT NULL
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming

@@ -91,14 +91,20 @@ def _num_buckets_for(*sides: ray.data.Dataset) -> int:
 
 def _probe_side(ds: ray.data.Dataset, key: str, ts_col: str):
     """Bounded skew probe of one join side: returns (max_key_rows,
-    bytes_per_row, ts_min_us, ts_max_us) — max_key_rows is a lower bound
-    within max(16 × batches, total/64) of the true hottest-key count
-    (per-batch local heavy-hitter emission with threshold
-    max(16, batch/64): a key is counted wherever it is locally heavy, so
-    a genuinely bucket-overflowing key — orders of magnitude past the
-    probe's resolution — cannot hide). Everything reduces through one
-    combiner exchange; only a handful of scalar aggregates reach the
-    driver."""
+    bytes_per_row, n_rows, ts_min_us, ts_max_us) — max_key_rows is a
+    lower bound within max(16 × batches, total/256) of the true
+    hottest-key count (per-batch local heavy-hitter emission with
+    threshold max(16, batch/256): a key is counted wherever it holds
+    ≥ 1/256 of a batch). RESOLUTION LIMIT, stated honestly: a key spread
+    uniformly below 1/256 of every batch is invisible to any local
+    heavy-hitter scheme, yet at extreme scale could still exceed a
+    128 MiB bucket — perfect detection needs an exact per-key count (a
+    full extra groupby); this probe trades that for one narrow scan.
+    NULL keys are excluded (the join drops them; counting their shared
+    hash sentinel as one hot key would flip to the windowed plan for
+    rows the join never sees). Everything reduces through one combiner
+    exchange; only a handful of scalar aggregates reach the driver."""
+    import pyarrow.compute as _pc
     from ray.data.aggregate import Max, Min, Sum
 
     from ..functions.hashing import hash64_column
@@ -116,9 +122,12 @@ def _probe_side(ds: ray.data.Dataset, key: str, ts_col: str):
                     "tmax": pa.array([], pa.int64()),
                 }
             )
-        kh = hash64_column(batch.column(key)).view(np.int64)
+        valid = _pc.is_valid(batch.column(key)).to_numpy(
+            zero_copy_only=False
+        )
+        kh = hash64_column(batch.column(key)).view(np.int64)[valid]
         uniq, counts = np.unique(kh, return_counts=True)
-        thr = max(16, n // 64)
+        thr = max(16, n // 256)
         heavy = counts >= thr
         ts = _ts_to_i64(batch.column(ts_col))
         real = ts[ts != _TS_NULL_SENTINEL_US]
@@ -177,9 +186,16 @@ def _probe_side(ds: ray.data.Dataset, key: str, ts_col: str):
     return (
         max_key_rows,
         bpr,
+        n_rows,
         totals.get("min(tmin_min)"),
         totals.get("max(tmax_max)"),
     )
+
+
+# In-memory Arrow bytes run ~2-4x the compressed parquet bytes on text-ish
+# data; the probe's bucket-budget math scales file metadata by this factor
+# so "fits the budget" is judged on decoded size, not on-disk size.
+_DECODE_FACTOR = 4
 
 
 def _auto_span_hours(
@@ -226,9 +242,15 @@ def _auto_span_hours(
     tmin, tmax = _TS_NULL_SENTINEL_US, -_TS_NULL_SENTINEL_US
     for side, key_col, ts_col in sides:
         b = _input_bytes(side)
-        if b is not None and b <= max_bucket_bytes:
-            continue
-        mk, bpr, lo, hi = _probe_side(side, key_col, ts_col)
+        if b is not None and b * _DECODE_FACTOR <= max_bucket_bytes:
+            continue  # the whole decoded side fits one bucket budget
+        mk, bpr, n_rows, lo, hi = _probe_side(side, key_col, ts_col)
+        # The probe scanned only (key, ts) — its bytes-per-row misses the
+        # payload width. When file metadata is available, prefer the full
+        # row estimate decoded-bytes / rows; take the max of both so a
+        # wide-payload side is never sized by its narrow projection.
+        if b is not None and n_rows:
+            bpr = max(bpr, b * _DECODE_FACTOR / n_rows)
         worst_bytes = max(worst_bytes, mk * bpr)
         if lo is not None:
             tmin = min(tmin, lo)

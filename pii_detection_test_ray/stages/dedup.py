@@ -210,6 +210,16 @@ def _cluster_verify_pairs(
                         b_out.append(ids[other])
                         s_out.append(identical_score)
     reps.sort(key=lambda i: ids[i])
+    if identical_pairs == "all" and len(reps) > _MAX_BUCKET_REPS:
+        # Listing mode promises the oracle's EXACT pair set — silent
+        # rep truncation would drop pairs without a trace, so the cap is
+        # LOUD here (the linear/dedup mode keeps the silent cap: keep-min
+        # semantics tolerate missing non-head pairs, listings do not).
+        raise ValueError(
+            f"bucket holds {len(reps)} distinct signatures (> "
+            f"{_MAX_BUCKET_REPS}): pair listing would silently truncate "
+            "— shard the input or use a keep-min dedup path"
+        )
     reps = reps[:_MAX_BUCKET_REPS]
     for x in range(len(reps)):
         for y in range(x + 1, len(reps)):
@@ -478,6 +488,11 @@ def simhash_duplicate_pairs(
     approximate and the comparison is exact, not probabilistic."""
 
     def emit_chunks(batch: pa.Table) -> pa.Table:
+        if sig_col is not None:
+            # A null signature can never pair (mirrors null text → empty
+            # simhash 0 being a VALUE, while null is absent) — drop the
+            # row instead of crashing int(None).
+            batch = batch.filter(pc.is_valid(batch.column(sig_col)))
         ids = batch.column(id_col).to_pylist()
         if sig_col is not None:
             sigs = [

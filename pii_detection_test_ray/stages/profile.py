@@ -41,7 +41,8 @@ def profile_table(
 ) -> pa.Table:
     """(column, n_rows, n_nulls, n_distinct_approx, min_value, max_value)
     — one row per profiled column, exact except the HLL distinct. Reads
-    the source twice (see module docstring)."""
+    the source ONCE (see module docstring: typed min/max partials ride
+    the same pass as the null/HLL partials)."""
     from ..functions.hashing import hash64_column
 
     schema = ds.schema()

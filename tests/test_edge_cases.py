@@ -573,3 +573,71 @@ class TestNullMiscTables:
             exp = con.execute(ORACLES[name]).fetchdf()
             problems += [(name, p) for p in compare(name, got, exp)]
         assert problems == []
+
+
+class TestRound5ReviewFindings:
+    """Regression pins for the round-5 self-review findings: negative-id
+    planted signatures, all-null query vectors, all-null leading row
+    groups for dim inference."""
+
+    def test_simhash_plant_negative_ids_match_duckdb(
+        self, ray_session, tmp_path
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        duckdb = pytest.importorskip("duckdb")
+
+        from tools.check_correctness import compare, to_pandas
+
+        from pii_detection_test_ray.pipelines.queries import QUERIES
+        from pii_detection_test_ray.pipelines.sql_oracles import ORACLES
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        [-7, -3, 0, 3, 7, None, 12, 15], pa.int64()
+                    ),
+                    "text": pa.array(["x"] * 8, pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        got = to_pandas(QUERIES["simhash_pairs"](str(tmp_path)))
+        exp = con.execute(ORACLES["simhash_pairs"]).fetchdf()
+        assert compare("simhash_pairs", got, exp) == []
+        # |−3| and |3| share a signature: the pair must exist on both
+        # sides at hamming 0 (abs-plant contract).
+        assert ((got["id_a"] == -3) & (got["id_b"] == 3)).any()
+
+    def test_knn_queries_all_null_embeddings(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pii_detection_test_ray.pipelines.queries import QUERIES
+
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([0, 1, 2], pa.int64()),
+                    "embedding": pa.array(
+                        [None, None, None], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            str(tmp_path / "embeddings.parquet"),
+        )
+        knn = QUERIES["knn_cosine"](str(tmp_path)).take_all()
+        assert knn == []
+        ivf = QUERIES["knn_ivf"](str(tmp_path)).take_all()
+        assert ivf == []
+        # dim inference survives an all-null table too (falls back, no
+        # vectors ever reach the matmul).
+        pairs = QUERIES["embedding_dup_pairs"](str(tmp_path)).take_all()
+        assert pairs == []
